@@ -1,0 +1,299 @@
+"""SPIMI-style resumable index build.
+
+Mirrors the reference's four-phase resumable build
+(``setup → train → index → finalize``,
+``/root/reference/pylate/indexes/stanford_nlp/indexing/collection_indexer.py:62-79``):
+
+- **setup** (:func:`_stage_corpus`): deterministic dense docid
+  assignment (url rank), doc-range sharding, native-expression token
+  counting (``dl``), staged corpus written partitioned by build batch —
+  the analog of ``plan.json`` + the saved collection chunks
+  (``collection_indexer.py:81-121``).
+- **index** (:func:`_build_batches`): per-batch SPIMI map+shuffle:
+  tokenize (vectorized pandas UDF) → ``(shard, term, docid, tf, dl)``
+  → hash-repartition on ``shard`` + local sort → streamed vectorized
+  posting-block encoding → append to the partitioned segments table.
+  Resume skips batches whose manifest entry is committed, exactly as
+  the reference skips already-saved chunks
+  (``collection_indexer.py:408-449``, ``index_saver.py:21-50``).
+- **finalize** (:func:`_finalize`): global term statistics (the SPIMI
+  merge — per-(shard, term) runs aggregated per term; the recorded
+  ``merge_fan_in`` is runs/term), docmap, manifest with corpus stats,
+  config, lineage and per-batch metrics — the analog of
+  ``metadata.json`` (``collection_indexer.py:578-591``).
+
+Skew note (north_rule): the *salt* is the doc-range shard. A stopword's
+postings are split across all shards, so no task ever materializes more
+than ``shard_size`` postings for one term, and runs concatenate in
+shard order into globally docid-sorted posting lists (merge = ordered
+append, fan-in recorded per term).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pylate_spark.config import IndexConfig
+from pylate_spark.functions.tokenize import native_tokens_col, terms_long
+from pylate_spark.operators.docids import assign_docids
+from pylate_spark.plans.segments import SEGMENT_SCHEMA, group_carry_iterator
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def staging(self) -> str:
+        return os.path.join(self.root, "staging")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def docmap(self) -> str:
+        return os.path.join(self.root, "docmap")
+
+    @property
+    def tombstones(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+
+def load_manifest(paths: IndexPaths) -> dict:
+    if os.path.exists(paths.manifest):
+        with open(paths.manifest) as f:
+            return json.load(f)
+    return {}
+
+
+def save_manifest(paths: IndexPaths, manifest: dict) -> None:
+    os.makedirs(paths.root, exist_ok=True)
+    tmp = paths.manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, paths.manifest)  # atomic commit, crash-safe
+
+
+def _stage_corpus(
+    spark: SparkSession,
+    pages: DataFrame,
+    paths: IndexPaths,
+    config: IndexConfig,
+    shards_per_batch: int,
+    key_col: str,
+    text_col: str,
+    docid_base: int = 0,
+) -> None:
+    """Write the staged corpus ``(batch, shard, docid, url, dl, text)``
+    partitioned by batch. ``dl`` is computed with the *native*
+    ``regexp_extract_all`` so corpus stats never re-tokenize (the UDF
+    tokenizer is asserted equal to it in tests)."""
+    with_ids, cache = assign_docids(pages, config.shard_size, key_col=key_col)
+    if docid_base:
+        with_ids = with_ids.withColumn("docid", F.col("docid") + F.lit(docid_base)).withColumn(
+            "shard", (F.col("docid") / F.lit(config.shard_size)).cast("long")
+        )
+    staged = (
+        with_ids.withColumn("dl", F.size(native_tokens_col(text_col)))
+        .withColumn("batch", (F.col("shard") / F.lit(shards_per_batch)).cast("long"))
+        .select(
+            "batch",
+            "shard",
+            "docid",
+            F.col(key_col).alias("url"),
+            "dl",
+            F.col(text_col).alias("text"),
+        )
+    )
+    staged.write.mode("append").partitionBy("batch").parquet(paths.staging)
+    cache.unpersist(blocking=False)
+
+
+def _build_one_batch(
+    spark: SparkSession,
+    paths: IndexPaths,
+    config: IndexConfig,
+    batch: int,
+    shards_per_batch: int,
+) -> dict:
+    """Tokenize → shuffle-by-shard → encode → append segments for one
+    batch of shards. Returns the manifest metrics entry."""
+    t0 = time.time()
+    # a batch that previously died mid-write is discarded wholesale —
+    # the batch directory is the atomic unit of commit (the analog of
+    # the reference's per-chunk save + chunk-exists resume check,
+    # ``index_saver.py:28-50``)
+    batch_dir = os.path.join(paths.segments, f"batch={batch}")
+    if os.path.exists(batch_dir):
+        import shutil
+
+        shutil.rmtree(batch_dir)
+    staged = spark.read.parquet(paths.staging).where(F.col("batch") == batch)
+    tl = terms_long(staged.select("docid", "text"), id_col="docid", text_col="text")
+    tl = tl.withColumn("shard", (F.col("docid") / F.lit(config.shard_size)).cast("long"))
+    block_size, n_buckets = config.block_size, config.term_buckets
+    encoded = (
+        tl.repartition(shards_per_batch, "shard")
+        .sortWithinPartitions("shard", "term", "docid")
+        .mapInPandas(
+            lambda it: group_carry_iterator(it, block_size, n_buckets),
+            schema=SEGMENT_SCHEMA,
+        )
+        .withColumn("batch", F.lit(batch))
+    )
+    encoded.write.mode("append").partitionBy("batch", "bucket").parquet(paths.segments)
+
+    # metrics from the written data (cheap column scan, no payload read)
+    m = (
+        spark.read.parquet(batch_dir)
+        .agg(
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("payload")).alias("bytes"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .collect()[0]
+    )
+    d = (
+        staged.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"),
+                   F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs_tokenized"))
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    n_post = int(m["n_postings"] or 0)
+    nbytes = int(m["bytes"] or 0)
+    return {
+        "status": "committed",
+        "batch": batch,
+        "n_docs": int(d["n_docs"]),
+        "n_docs_tokenized": int(d["n_docs_tokenized"]),
+        "sum_dl": int(d["sum_dl"] or 0),
+        "n_postings": n_post,
+        "n_runs": int(m["n_runs"] or 0),
+        "bytes": nbytes,
+        "build_sec": round(dt, 3),
+        "docs_per_sec": round(int(d["n_docs"]) / dt, 1) if dt > 0 else None,
+        "postings_per_sec": round(n_post / dt, 1) if dt > 0 else None,
+        "bytes_per_posting": round(nbytes / n_post, 3) if n_post else None,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+
+def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manifest: dict) -> dict:
+    """Global term stats (SPIMI merge bookkeeping), docmap, corpus stats."""
+    seg = spark.read.parquet(paths.segments)
+    ts = (
+        seg.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max(F.array_max("b_max_tf")).alias("max_tf"),
+            F.min(F.array_min("b_min_dl")).alias("min_dl"),
+            F.count(F.lit(1)).alias("merge_fan_in"),
+        )
+    )
+    ts.write.mode("overwrite").parquet(paths.term_stats)
+
+    staged = spark.read.parquet(paths.staging)
+    staged.select("url", "docid", "shard", "dl").write.mode("overwrite").parquet(paths.docmap)
+
+    batches = manifest.get("batches", {})
+    n_docs = sum(b["n_docs_tokenized"] for b in batches.values())
+    sum_dl = sum(b["sum_dl"] for b in batches.values())
+    fan = spark.read.parquet(paths.term_stats).agg(
+        F.avg("merge_fan_in").alias("avg"), F.max("merge_fan_in").alias("max")
+    ).collect()[0]
+    manifest.update(
+        {
+            "config": config.to_dict(),
+            "n_docs": n_docs,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "n_postings": sum(b["n_postings"] for b in batches.values()),
+            "bytes": sum(b["bytes"] for b in batches.values()),
+            "merge_fan_in_avg": float(fan["avg"] or 0.0),
+            "merge_fan_in_max": int(fan["max"] or 0),
+            "finalized": True,
+            "lineage": manifest.get("lineage", []),
+        }
+    )
+    save_manifest(paths, manifest)
+    return manifest
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    shards_per_batch: int = 64,
+    key_col: str = "url",
+    text_col: str = "text",
+    resume: bool = False,
+) -> dict:
+    """Build (or resume building) the inverted index at ``index_dir``.
+
+    Returns the final manifest. Idempotent per batch: a killed build
+    rerun with ``resume=True`` skips committed batches (the kill/rerun
+    test mirrors the reference's resume discipline,
+    ``collection_indexer.py:64-71``).
+    """
+    config = config or IndexConfig()
+    paths = IndexPaths(index_dir)
+    manifest = load_manifest(paths) if resume else {}
+    if manifest.get("finalized"):
+        return manifest
+    if not resume and os.path.exists(paths.root):
+        import shutil
+
+        shutil.rmtree(paths.root)
+    os.makedirs(paths.root, exist_ok=True)
+
+    if not manifest.get("staged"):
+        if os.path.exists(paths.staging):  # killed mid-staging → redo atomically
+            import shutil
+
+            shutil.rmtree(paths.staging)
+        _stage_corpus(spark, pages, paths, config, shards_per_batch, key_col, text_col)
+        n_batches = (
+            spark.read.parquet(paths.staging).agg(F.max("batch")).collect()[0][0] or 0
+        ) + 1
+        manifest = {
+            "staged": True,
+            "n_batches": int(n_batches),
+            "config": config.to_dict(),
+            "batches": {},
+            "lineage": [
+                {
+                    "stage": "staging",
+                    "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "source": "caller DataFrame",
+                }
+            ],
+        }
+        save_manifest(paths, manifest)
+
+    for batch in range(manifest["n_batches"]):
+        key = str(batch)
+        if manifest["batches"].get(key, {}).get("status") == "committed":
+            continue
+        entry = _build_one_batch(spark, paths, config, batch, shards_per_batch)
+        manifest["batches"][key] = entry
+        save_manifest(paths, manifest)  # per-batch durable commit point
+
+    return _finalize(spark, paths, config, manifest)

@@ -1,0 +1,200 @@
+"""Query planning: the scatter-gather BM25 top-k job.
+
+Entry points:
+
+- :class:`InvertedIndex` — search a built on-disk index. The plan is
+  the Spark translation of the reference's retrieval lifecycle
+  (``/root/reference/pylate/retrieve/colbert.py:91-120`` and SURVEY
+  §3.1-3.2): queries are normalized and batched driver-side (the
+  reference batches 50/probe, ``retrieve/base.py:98-105``), the
+  segment scan is pruned to the query terms' hash buckets (partition
+  pruning — the analog of probing only ``ncells`` IVF cells), matched
+  rows are grouped per shard for the block-max cascade kernel, and
+  per-shard top-k heaps are merged by a global window — the analog of
+  the reference's final descending sort + truncate
+  (``index_storage.py:121-127``).
+
+- :func:`bm25_scan_topk` — index-free BM25 over any (id, text)
+  DataFrame, expressed purely in native DataFrame ops (tokenize UDF
+  excepted). Used as the SQL-comparable correctness surface and as the
+  "cold query" path.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pylate_spark.config import BM25Params, IndexConfig
+from pylate_spark.functions.bm25 import bm25_score_col
+from pylate_spark.functions.tokenize import terms_long, tokenize_py, tokenize_udf
+from pylate_spark.plans.build import IndexPaths, load_manifest
+from pylate_spark.plans.wand import score_shard
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("score", T.FloatType(), False),
+    ]
+)
+
+RANKED_SCHEMA = "query_id long, rank int, docid long, score float"
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-k merge: score desc, docid asc tie-break."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+class InvertedIndex:
+    """Handle to a built index directory (see plans/build.py layout)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.manifest = load_manifest(self.paths)
+        if not self.manifest.get("finalized"):
+            raise ValueError(f"index at {index_dir} is not finalized")
+        self.config = IndexConfig.from_dict(self.manifest["config"])
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+
+    # -- id resolution (the reference's id<->docid pickles,
+    #    fast_plaid.py:136-174) ------------------------------------
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docmap)
+
+    def resolve_urls(self, results: DataFrame) -> DataFrame:
+        """Join ranked results back to urls (broadcast the small side)."""
+        return results.join(self.docmap().select("docid", "url"), "docid", "left")
+
+    # -- tombstones (delete support, index_updater.py:52-69) --------
+    def _tombstones(self) -> np.ndarray | None:
+        p = self.paths.tombstones
+        if os.path.exists(p):
+            pdf = self.spark.read.parquet(p).toPandas()
+            if len(pdf):
+                return np.sort(pdf["docid"].to_numpy(dtype=np.int64))
+        return None
+
+    def search(
+        self,
+        queries: DataFrame | list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "cascade",
+        subset: list[int] | np.ndarray | None = None,
+    ) -> DataFrame:
+        """Ranked results ``(query_id, rank, docid, score)``.
+
+        ``mode``: ``"cascade"`` (block-max pruning) or ``"exhaustive"``
+        (decode everything — the in-engine correctness oracle, the
+        analog of exact MaxSim rescoring). ``subset`` restricts results
+        to the given docids (the reference's allow-list filter,
+        ``fast_plaid.py:318-340``).
+        """
+        if isinstance(queries, DataFrame):
+            qrows = [(r["query_id"], r["text"]) for r in queries.collect()]
+        else:
+            qrows = list(queries)
+        qmap = {int(qid): sorted(set(tokenize_py(text))) for qid, text in qrows}
+        all_terms = sorted({t for ts in qmap.values() for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame([], RANKED_SCHEMA)
+
+        buckets = sorted({zlib.crc32(t.encode()) % self.config.term_buckets for t in all_terms})
+        stats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .where(F.col("term").isin(all_terms))
+            .select("term", "df")
+            .collect()
+        )
+        n, params = self.n_docs, self.config.bm25
+        idf = {
+            r["term"]: float(np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)) for r in stats
+        }
+        qmap = {qid: [t for t in ts if t in idf] for qid, ts in qmap.items()}
+        qmap = {qid: ts for qid, ts in qmap.items() if ts}
+        if not qmap:
+            return self.spark.createDataFrame([], RANKED_SCHEMA)
+
+        tomb = self._tombstones()
+        allowed = np.sort(np.asarray(subset, dtype=np.int64)) if subset is not None else None
+        avgdl, kk, md = self.avgdl, k, mode
+
+        seg = (
+            self.spark.read.parquet(self.paths.segments)
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(idf)))
+            .select("shard", "term", "df", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off", "payload")
+        )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard(
+                pdf, qmap, idf, avgdl, kk, params, mode=md, tombstones=tomb, allowed=allowed
+            )
+
+        scored = seg.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        return _rank_topk(scored, k)
+
+
+def bm25_scan_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "docid",
+    text_col: str = "text",
+    params: BM25Params = BM25Params(),
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free BM25 top-k, expressed as a declarative DataFrame plan
+    (Catalyst does pushdown/broadcast/partial-agg). Used for the DuckDB
+    oracle parity checks; ``round_to`` rounds the emitted double score
+    so cross-engine float summation order cannot flip value hashes.
+    """
+    from pylate_spark.functions.tokenize import native_tokens_col
+
+    # corpus stats natively — one pushed-down scan, no UDF, no shuffle
+    dl_native = F.size(native_tokens_col(text_col))
+    g = (
+        docs.select(dl_native.alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = float(g["n"]), float(g["avgdl"])
+
+    qt = (
+        queries.select("query_id", F.explode(tokenize_udf(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    # filter postings to query terms FIRST (broadcast semi-join), so the
+    # df aggregation and the scoring join never touch non-query terms
+    tl = terms_long(docs, id_col=id_col, text_col=text_col)
+    tl_q = tl.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    dfs = tl_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tl_q.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .withColumn(
+            "contrib",
+            bm25_score_col(F.col("tf"), F.col("dl"), F.col("df"), n_docs, avgdl, params),
+        )
+        .groupBy("query_id", "docid")
+        .agg(F.sum("contrib").alias("score_d"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
+    else:
+        scored = scored.withColumn("score", F.col("score_d").cast("float"))
+    return _rank_topk(scored.drop("score_d"), k)

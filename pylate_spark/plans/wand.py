@@ -1,0 +1,215 @@
+"""Per-shard BM25 scoring kernels: exhaustive and block-max cascade.
+
+The cascade is the engine's analog of the reference's staged pruning
+(``/root/reference/pylate/indexes/stanford_nlp/search/index_storage.py:129-244``:
+centroid upper-bound threshold → shrinking top-``ndocs`` →
+exact rescoring of survivors). We implement the WAND-family
+**block-max MaxScore** strategy rather than document-at-a-time WAND:
+DAAT pivoting is a per-document Python loop (forbidden hot path);
+MaxScore needs only a loop over *query terms*, with every per-posting
+operation vectorized, and exploits the same per-block metadata
+(``max_tf``/``min_dl`` → true score upper bounds) to skip decoding
+blocks that cannot contain a top-k document.
+
+Soundness argument (exactness — required for rank-identity):
+- Terms are processed in descending upper-bound order. After the OR
+  phase prefix S, any document not yet in the accumulator can score at
+  most ``suffix_ub = Σ_{t∉S} UB_t``. We switch to AND mode only when
+  ``suffix_ub < θ`` where θ = k-th largest *partial* (hence ≤ final)
+  accumulator score — so no unseen document can enter the top k.
+- In AND mode, remaining terms are scored only at accumulator docids;
+  only blocks whose [first, last] docid range contains an accumulator
+  docid are decoded (binary search on block boundaries — the
+  block-skip). Every accumulator doc still receives its exact full
+  score, so the final top-k and scores are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pylate_spark.config import BM25Params
+from pylate_spark.functions.bm25 import tfn_np
+from pylate_spark.functions.codec import decode_postings
+from pylate_spark.plans.segments import blocks_from_row
+
+RESULT_COLUMNS = ["query_id", "docid", "score"]
+
+
+def _topk(docids: np.ndarray, scores32: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, docid asc) — deterministic tie-break."""
+    if docids.size == 0:
+        return docids, scores32
+    if docids.size > k:
+        # k-th largest score value, then keep everything >= it so that
+        # boundary ties survive for the deterministic docid tie-break
+        th = np.partition(scores32, docids.size - k)[docids.size - k]
+        mask = scores32 >= th
+        docids, scores32 = docids[mask], scores32[mask]
+    order = np.lexsort((docids, -scores32))[:k]
+    return docids[order], scores32[order]
+
+
+class ShardTerms:
+    """Decoded-on-demand view of one shard's matched segment rows."""
+
+    def __init__(self, pdf: pd.DataFrame, tombstones: np.ndarray | None, allowed: np.ndarray | None):
+        self.rows = {r["term"]: r for _, r in pdf.iterrows()}
+        self.blocks = {t: blocks_from_row(r) for t, r in self.rows.items()}
+        self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.tombstones = tombstones
+        self.allowed = allowed
+
+    def terms(self):
+        return self.rows.keys()
+
+    def _mask(self, docids, tfs, dls):
+        if self.tombstones is not None and self.tombstones.size:
+            keep = ~np.isin(docids, self.tombstones, assume_unique=False)
+            docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+        if self.allowed is not None:
+            keep = np.isin(docids, self.allowed)
+            docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+        return docids, tfs, dls
+
+    def full(self, term: str):
+        """Decode (and cache) a term's full postings for this shard."""
+        if term not in self._full:
+            r = self.rows[term]
+            out = decode_postings(r["payload"], self.blocks[term])
+            self._full[term] = self._mask(*out)
+        return self._full[term]
+
+    def at_candidates(self, term: str, cand: np.ndarray):
+        """Decode only blocks whose docid range intersects ``cand``;
+        return postings restricted to candidate docids."""
+        if term in self._full:
+            docids, tfs, dls = self._full[term]
+        else:
+            b = self.blocks[term]
+            lo = np.searchsorted(cand, b.first, side="left")
+            hi = np.searchsorted(cand, b.last, side="right")
+            need = np.flatnonzero(hi > lo)
+            self.blocks_skipped = getattr(self, "blocks_skipped", 0) + (b.first.size - need.size)
+            docids, tfs, dls = decode_postings(self.rows[term]["payload"], self.blocks[term], select=need)
+            docids, tfs, dls = self._mask(docids, tfs, dls)
+        keep = np.isin(docids, cand, assume_unique=True)
+        return docids[keep], tfs[keep], dls[keep]
+
+    def shard_ub_inputs(self, term: str) -> tuple[int, int]:
+        """(max_tf, min_dl) over this shard's blocks — upper-bound inputs."""
+        b = self.blocks[term]
+        return int(b.max_tf.max()), int(b.min_dl.min())
+
+
+def score_shard(
+    pdf: pd.DataFrame,
+    queries: dict[int, list[str]],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    params: BM25Params,
+    mode: str = "cascade",
+    tombstones: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Score all queries against one shard's matched segment rows.
+
+    Returns per-shard top-k rows (query_id, docid, score float32).
+    """
+    st = ShardTerms(pdf, tombstones, allowed)
+    have = set(st.terms())
+    out_q, out_d, out_s = [], [], []
+    for qid, qterms in queries.items():
+        terms = [t for t in qterms if t in have]
+        if not terms:
+            continue
+        if mode == "exhaustive":
+            docids, scores = _score_exhaustive(st, terms, idf, avgdl, params)
+        else:
+            docids, scores = _score_cascade(st, terms, idf, avgdl, k, params)
+        d, s = _topk(docids, scores, k)
+        out_q.append(np.full(d.size, qid, dtype=np.int64))
+        out_d.append(d)
+        out_s.append(s)
+    if not out_q:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float32)})
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "docid": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params):
+    all_d, all_s = [], []
+    for t in terms:
+        docids, tfs, dls = st.full(t)
+        if docids.size == 0:
+            continue
+        all_d.append(docids)
+        all_s.append(idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params))
+    if not all_d:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    cat_d = np.concatenate(all_d)
+    cat_s = np.concatenate(all_s)
+    uniq, inv = np.unique(cat_d, return_inverse=True)
+    sums = np.bincount(inv, weights=cat_s)
+    return uniq, sums.astype(np.float32)
+
+
+def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
+    """Block-max MaxScore (see module docstring for the soundness
+    argument). Falls back to exhaustive behavior when the accumulator
+    never reaches k docs (then the OR phase simply runs to the end)."""
+    # shard-local true upper bounds per term
+    ubs = []
+    for t in terms:
+        max_tf, min_dl = st.shard_ub_inputs(t)
+        ubs.append(idf[t] * float(tfn_np(float(max_tf), float(min_dl), avgdl, params)))
+    order = np.argsort(-np.asarray(ubs), kind="stable")
+    terms = [terms[i] for i in order]
+    ubs = [ubs[i] for i in order]
+    suffix = np.concatenate([np.cumsum(np.asarray(ubs, dtype=np.float64)[::-1])[::-1], [0.0]])
+
+    acc_d = np.empty(0, dtype=np.int64)   # sorted docids
+    acc_s = np.empty(0, dtype=np.float64)
+    i = 0
+    for i, t in enumerate(terms):
+        # switch to AND mode when unseen docs can no longer enter top-k
+        if acc_d.size >= k:
+            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            if suffix[i] < theta:
+                break
+        docids, tfs, dls = st.full(t)
+        if docids.size:
+            contrib = idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
+            cat_d = np.concatenate([acc_d, docids])
+            cat_s = np.concatenate([acc_s, contrib])
+            acc_d, inv = np.unique(cat_d, return_inverse=True)
+            acc_s = np.bincount(inv, weights=cat_s)
+    else:
+        i = len(terms)  # OR phase consumed everything
+
+    # AND phase: remaining terms scored only at accumulator docids,
+    # decoding only blocks that can contain them
+    for j in range(i, len(terms)):
+        t = terms[j]
+        if acc_d.size == 0:
+            break
+        # prune accumulators that can no longer reach the top-k
+        if acc_d.size > k:
+            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+            keep = acc_s + suffix[j] >= theta
+            acc_d, acc_s = acc_d[keep], acc_s[keep]
+        docids, tfs, dls = st.at_candidates(t, acc_d)
+        if docids.size:
+            contrib = idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
+            pos = np.searchsorted(acc_d, docids)
+            np.add.at(acc_s, pos, contrib)
+    return acc_d, acc_s.astype(np.float32)

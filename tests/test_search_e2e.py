@@ -1,0 +1,102 @@
+"""End-to-end rank-identity: build index → search (both modes) →
+compare against the pure-python oracle — the analog of the reference's
+end-to-end retrieval tests (``tests/test_retriever.py:6-80``) plus its
+legacy-equivalence pattern (``tests/test_colbert_scores.py:53-84``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pylate_spark.config import BM25Params, IndexConfig
+from pylate_spark.oracle import OracleIndex
+from pylate_spark.plans.build import build_index
+from pylate_spark.plans.query import InvertedIndex, bm25_scan_topk
+
+K = 10
+
+
+def _oracle_results(pages_pdf, queries_pdf, k=K, allowed=None):
+    docs = list(zip(range(len(pages_pdf)), pages_pdf["text"]))  # docid == url rank == index
+    oracle = OracleIndex(docs)
+    qs = list(zip(queries_pdf["query_id"], queries_pdf["text"]))
+    return oracle.search_all(qs, k=k, allowed=allowed), oracle
+
+
+def _collect_ranked(df):
+    return [
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def assert_rank_identical(got, want, score_tol=1e-5):
+    got_ids = [(q, r, d) for q, r, d, _ in got]
+    want_ids = [(q, r, d) for q, r, d, _ in want]
+    assert got_ids == want_ids
+    gs = np.array([s for *_, s in got])
+    ws = np.array([s for *_, s in want])
+    np.testing.assert_allclose(gs, ws, rtol=score_tol)
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, pages_t2, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "t2")
+    cfg = IndexConfig(shard_size=256, block_size=64, term_buckets=16, bm25=BM25Params())
+    manifest = build_index(spark, pages_t2, d, config=cfg, shards_per_batch=4)
+    return d, manifest
+
+
+def test_manifest_stats_match_oracle(built_index, pages_t2_pdf):
+    d, manifest = built_index
+    docs = list(zip(range(len(pages_t2_pdf)), pages_t2_pdf["text"]))
+    oracle = OracleIndex(docs)
+    assert manifest["n_docs"] == oracle.n_docs
+    assert manifest["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert manifest["finalized"]
+    assert manifest["n_postings"] == sum(len(p) for p in oracle.postings.values())
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "cascade"])
+def test_search_rank_identical_to_oracle(spark, built_index, pages_t2_pdf, queries_pdf, mode):
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qs = list(zip(queries_pdf["query_id"].tolist(), queries_pdf["text"].tolist()))
+    got = _collect_ranked(idx.search(qs, k=K, mode=mode))
+    want, _ = _oracle_results(pages_t2_pdf, queries_pdf, k=K)
+    assert_rank_identical(got, want)
+
+
+def test_cascade_equals_exhaustive(spark, built_index, queries_pdf):
+    """WAND-family pruning must be invisible in results (the reference's
+    equivalence discipline)."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qs = list(zip(queries_pdf["query_id"].tolist(), queries_pdf["text"].tolist()))
+    a = _collect_ranked(idx.search(qs, k=K, mode="cascade"))
+    b = _collect_ranked(idx.search(qs, k=K, mode="exhaustive"))
+    assert a == b
+
+
+def test_subset_filter(spark, built_index, pages_t2_pdf, queries_pdf):
+    """Allow-list restriction (reference: fast_plaid.py:318-340)."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    allowed = list(range(0, len(pages_t2_pdf), 3))
+    qs = list(zip(queries_pdf["query_id"].tolist()[:10], queries_pdf["text"].tolist()[:10]))
+    got = _collect_ranked(idx.search(qs, k=K, subset=allowed))
+    want, _ = _oracle_results(pages_t2_pdf, queries_pdf.iloc[:10], k=K, allowed=set(allowed))
+    assert_rank_identical(got, want)
+
+
+def test_scan_topk_matches_oracle(spark, pages_t2, pages_t2_pdf, queries_pdf):
+    """Index-free declarative path (pure DataFrame ops)."""
+    from pylate_spark.operators.docids import assign_docids
+
+    with_ids, cache = assign_docids(pages_t2, shard_size=256)
+    docs = with_ids.select("docid", "text")
+    queries = pages_t2.sparkSession.createDataFrame(queries_pdf.iloc[:15])
+    got = _collect_ranked(bm25_scan_topk(docs, queries, k=K))
+    want, _ = _oracle_results(pages_t2_pdf, queries_pdf.iloc[:15], k=K)
+    cache.unpersist()
+    assert_rank_identical(got, want)
