@@ -195,8 +195,33 @@ def _build_one_batch(
     }
 
 
+def _tombstone_deltas(spark: SparkSession, paths: IndexPaths):
+    """(per-term df/cf deltas DF, n_deleted_tokenized, deleted sum_dl)
+    for all tombstoned docids, recomputed exactly from staged text.
+    Returns (None, 0, 0) when there are no tombstones."""
+    if not os.path.exists(paths.tombstones):
+        return None, 0, 0
+    tomb = spark.read.parquet(paths.tombstones).distinct()
+    staged = spark.read.parquet(paths.staging)
+    deleted = staged.join(F.broadcast(tomb), "docid", "inner")
+    from pylate_spark.functions.tokenize import terms_long as _tl
+
+    deltas = (
+        _tl(deleted.select("docid", "text"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_del"), F.sum("tf").alias("cf_del"))
+    )
+    d = deleted.agg(
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    return deltas, int(d["n"] or 0), int(d["sum_dl"] or 0)
+
+
 def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manifest: dict) -> dict:
-    """Global term stats (SPIMI merge bookkeeping), docmap, corpus stats."""
+    """Global term stats (SPIMI merge bookkeeping), docmap, corpus stats.
+    Tombstoned documents are subtracted exactly, so re-finalizing after
+    an incremental add preserves delete semantics."""
     seg = spark.read.parquet(paths.segments)
     ts = (
         seg.groupBy("term")
@@ -208,14 +233,23 @@ def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manif
             F.count(F.lit(1)).alias("merge_fan_in"),
         )
     )
+    deltas, n_del, dl_del = _tombstone_deltas(spark, paths)
+    if deltas is not None:
+        ts = (
+            ts.join(F.broadcast(deltas), "term", "left")
+            .withColumn("df", F.col("df") - F.coalesce(F.col("df_del"), F.lit(0)))
+            .withColumn("cf", F.col("cf") - F.coalesce(F.col("cf_del"), F.lit(0)))
+            .drop("df_del", "cf_del")
+            .where(F.col("df") > 0)
+        )
     ts.write.mode("overwrite").parquet(paths.term_stats)
 
     staged = spark.read.parquet(paths.staging)
     staged.select("url", "docid", "shard", "dl").write.mode("overwrite").parquet(paths.docmap)
 
     batches = manifest.get("batches", {})
-    n_docs = sum(b["n_docs_tokenized"] for b in batches.values())
-    sum_dl = sum(b["sum_dl"] for b in batches.values())
+    n_docs = sum(b["n_docs_tokenized"] for b in batches.values()) - n_del
+    sum_dl = sum(b["sum_dl"] for b in batches.values()) - dl_del
     fan = spark.read.parquet(paths.term_stats).agg(
         F.avg("merge_fan_in").alias("avg"), F.max("merge_fan_in").alias("max")
     ).collect()[0]
@@ -223,6 +257,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manif
         {
             "config": config.to_dict(),
             "n_docs": n_docs,
+            "sum_dl": sum_dl,
             "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
             "n_postings": sum(b["n_postings"] for b in batches.values()),
             "bytes": sum(b["bytes"] for b in batches.values()),
