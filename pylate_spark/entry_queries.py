@@ -1,0 +1,617 @@
+"""Driver-facing query catalog: every implemented operator exposed as
+a ``(spark, sf_dir) -> DataFrame`` callable plus (where expressible) an
+exactly-equivalent DuckDB SQL oracle string.
+
+Cross-engine determinism rules used throughout (see
+``pylate_spark.functions.bm25`` docstring):
+- tokens = ``regexp_extract_all(lower(text), '[a-z0-9]+')`` in both;
+- every float column is ``round(x, N)`` of float64 math in both, and
+  rankings order by the *rounded* value with an id tie-break;
+- every hash is md5-hex (identical in Spark/DuckDB/Python);
+- counts are BIGINT in both (DuckDB sums cast from HUGEINT);
+- timestamps are compared as epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pylate_spark.config import ENGLISH_STOPWORDS
+from pylate_spark.functions.tokenize import native_tokens_col
+from pylate_spark.operators import dedup, multimodal, similarity, textstats
+from pylate_spark.plans.query import bm25_scan_topk
+
+TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+K = 10
+
+#: fixed reference query set over the testdata ``documents`` table
+QUERYSET: list[tuple[int, str]] = [
+    (0, "join hash"),
+    (1, "customer order line"),
+    (2, "spark window agg"),
+    (3, "vector"),
+    (4, "the a of"),
+    (5, "zzznotaterm"),
+    (6, "data data stream"),
+    (7, "slow query batch merge scan"),
+]
+
+_QUERY_VALUES = ", ".join(f"({qid}, '{text}')" for qid, text in QUERYSET)
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queryset_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERYSET, "query_id long, text string")
+
+
+# ---------------------------------------------------------------- BM25 ----
+
+_BM25_CTES = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs WHERE len(toks) > 0),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  GROUP BY doc_id, term
+),
+q(query_id, qtext) AS (VALUES {_QUERY_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
+  FROM q
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_sql(extra_where: str = "TRUE") -> str:
+    return f"""{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, tf.doc_id AS docid,
+         sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE {extra_where}
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, docid, round(score_raw, 4) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score_raw, 4) DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, docid, score FROM ranked WHERE rank <= {K}
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    return bm25_scan_topk(docs, _queryset_df(spark), k=K, round_to=4)
+
+
+def q_bm25_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allow-list search: stats over the full corpus, candidates
+    restricted to docid % 3 == 0 (the reference's subset filter)."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    return bm25_scan_topk(
+        docs, _queryset_df(spark), k=K, round_to=4, allowed_filter=F.col("docid") % 3 == 0
+    )
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND semantics: only docs containing every query term."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    return bm25_scan_topk(docs, _queryset_df(spark), k=K, round_to=4, conjunctive=True)
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real engine path (build index → block-max cascade search) over
+    the documents table. Driver-checked rows-only (float32 emit makes
+    SQL hash comparison brittle); pytest asserts rank-equality with the
+    scan path."""
+    import tempfile
+
+    from pylate_spark.config import IndexConfig
+    from pylate_spark.plans.build import build_index
+    from pylate_spark.plans.query import InvertedIndex
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="pylate_idx_")
+    build_index(
+        spark,
+        docs,
+        d,
+        config=IndexConfig(shard_size=2048, block_size=128, term_buckets=16),
+        shards_per_batch=16,
+        key_col="doc_id",
+        text_col="text",
+    )
+    return InvertedIndex(spark, d).search(QUERYSET, k=K, mode="cascade")
+
+
+# ------------------------------------------------------- corpus analysis --
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = native_tokens_col("text")
+    base = (
+        _docs(spark, sf_dir)
+        .select(F.size(toks).alias("dl"), toks.alias("toks"))
+        .where(F.col("dl") > 0)
+    )
+    s1 = base.agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl"))
+    s2 = base.select(F.explode("toks").alias("term")).agg(
+        F.count_distinct("term").alias("vocab_size")
+    )
+    return s1.crossJoin(s2)
+
+
+SQL_CORPUS_STATS = f"""
+WITH docs AS (SELECT {TOKEN_SQL} AS toks FROM documents),
+dl AS (SELECT len(toks) AS dl, toks FROM docs WHERE len(toks) > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dl), 6) AS avgdl,
+       CAST((SELECT count(DISTINCT term) FROM (SELECT unnest(toks) AS term FROM dl)) AS BIGINT) AS vocab_size
+FROM dl
+"""
+
+
+def q_term_df_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(native_tokens_col("text")).alias("term")
+    )
+    return (
+        tl.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_DF_TOP100 = f"""
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf
+FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS term FROM documents)
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("docid"), F.size(native_tokens_col("text")).alias("dl"))
+    )
+
+
+SQL_DOC_LENGTHS = f"""
+SELECT doc_id AS docid, CAST(len({TOKEN_SQL}) AS INTEGER) AS dl
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 20)
+    return (
+        d.select(F.col("doc_id").alias("docid"), F.explode(native_tokens_col("text")).alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+SQL_TOKENIZE_TF = f"""
+SELECT doc_id AS docid, term, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS term FROM documents WHERE doc_id < 20)
+GROUP BY doc_id, term
+"""
+
+
+# ------------------------------------------------------------- dedup ------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH h AS (
+  SELECT doc_id, md5(array_to_string({TOKEN_SQL}, ' ')) AS text_hash FROM documents
+)
+SELECT doc_id, text_hash,
+       CAST(count(*) OVER (PARTITION BY text_hash) AS BIGINT) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS keep
+FROM h
+"""
+
+
+N_MINHASH = 4
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=N_MINHASH)
+
+
+def _minhash_sql() -> str:
+    selects = [
+        f"SELECT doc_id, {i} AS h, min(md5(term || '#{i}')) AS minhash FROM terms GROUP BY doc_id"
+        for i in range(N_MINHASH)
+    ]
+    u = " UNION ALL ".join(selects)
+    return f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({TOKEN_SQL}) AS term FROM documents
+)
+SELECT doc_id, CAST(h AS INTEGER) AS h, minhash FROM ({u})
+"""
+
+
+SQL_MINHASH = _minhash_sql()
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=4, band_size=2)
+
+
+SQL_LSH_PAIRS = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({TOKEN_SQL}) AS term FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         min(md5(term || '#0')) AS mh0, min(md5(term || '#1')) AS mh1,
+         min(md5(term || '#2')) AS mh2, min(md5(term || '#3')) AS mh3
+  FROM terms GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(least(mh0, mh1) || '|' || greatest(mh0, mh1)) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(least(mh2, mh3) || '|' || greatest(mh2, mh3)) AS band_hash FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"sum(tf * CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf, md5(term) AS h
+  FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+JACCARD_SCOPE = 120
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < JACCARD_SCOPE)
+    return dedup.ngram_jaccard_pairs(d, n=3, min_jaccard=0.02)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents WHERE doc_id < {JACCARD_SCOPE}
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM idx
+  WHERE array_to_string(list_slice(toks, i, i + 2), ' ') != ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02
+"""
+
+
+# -------------------------------------------------------- similarity ------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(emb, queries, k=K)
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.qid, e.vec_id, q.qe, e.embedding AS ee
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid
+),
+flat AS (
+  SELECT qid, vec_id, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ee) AS DOUBLE) AS y
+  FROM pairs
+),
+dots AS (
+  SELECT qid, vec_id, sum(x * y) AS d, sqrt(sum(x * x)) AS nq, sqrt(sum(y * y)) AS nv
+  FROM flat GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, round(d / (nv * nq), 4) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY round(d / (nv * nq), 4) DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM dots
+)
+SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {K}
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed IVF) — rows-only check by design."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(emb, queries, k=K, n_planes=6, dim=64)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs over embeddings — rows-only (approximate)."""
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cos=0.9, n_planes=8, dim=64)
+
+
+# --------------------------------------------------------- text stats -----
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+SQL_LANG_ID = f"""
+WITH d AS (
+  SELECT doc_id, {TOKEN_SQL} AS toks FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS ratio
+  FROM d
+)
+SELECT doc_id, round(ratio, 4) AS en_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+FROM r
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_features(_docs(spark, sf_dir))
+
+
+SQL_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, text, {TOKEN_SQL} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END
+             * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+             * (0.5 + 0.5 * stop_ratio), 4) AS quality
+FROM feats
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len({TOKEN_SQL}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS i
+  FROM d WHERE len(toks) > 0
+),
+sh AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h FROM idx
+),
+agg AS (SELECT doc_id, min(h) AS min_shingle_hash FROM sh GROUP BY doc_id)
+SELECT d.doc_id, md5(array_to_string(d.toks, ' ')) AS text_hash, agg.min_shingle_hash
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ------------------------------------------------------ generic / events --
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_returnflag", "rank", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT l_returnflag, CAST(rank AS INTEGER) AS rank, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+  ) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------ catalog -----
+
+def catalog() -> dict[str, tuple]:
+    """name -> (callable, oracle_sql | None)."""
+    return {
+        "bm25_topk": (q_bm25_topk, _bm25_sql()),
+        "bm25_subset": (q_bm25_subset, _bm25_sql(extra_where="tf.doc_id % 3 = 0")),
+        "bm25_conjunctive": (q_bm25_conjunctive, _bm25_conjunctive_sql()),
+        "bm25_topk_indexed": (q_bm25_topk_indexed, None),
+        "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+        "term_df_top100": (q_term_df_top100, SQL_TERM_DF_TOP100),
+        "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
+        "tokenize_tf": (q_tokenize_tf, SQL_TOKENIZE_TF),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "minhash_signatures": (q_minhash, SQL_MINHASH),
+        "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+        "simhash": (q_simhash, SQL_SIMHASH),
+        "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "embedding_near_dups": (q_embedding_near_dups, None),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "quality_features": (q_quality, SQL_QUALITY),
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+        "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+        "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
+    }
+
+
+def _bm25_conjunctive_sql() -> str:
+    return f"""{_BM25_CTES},
+qsizes AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+matched AS (
+  SELECT qt.query_id, tf.doc_id AS docid,
+         sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score_raw,
+         count(*) AS n_matched
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT m.query_id, m.docid, round(m.score_raw, 4) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY m.query_id ORDER BY round(m.score_raw, 4) DESC, m.docid ASC
+         ) AS INTEGER) AS rank
+  FROM matched m JOIN qsizes USING (query_id)
+  WHERE m.n_matched = qsizes.n_terms
+)
+SELECT query_id, rank, docid, score FROM ranked WHERE rank <= {K}
+"""

@@ -1,0 +1,168 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram
+Jaccard. Built for the 100 TB training-data pipeline case:
+
+- exact: hash-groupBy — one shuffle of (hash, id), no text movement.
+- MinHash/LSH: signatures are per-doc aggregations (map-side partial
+  agg); candidate pairs come from an equi-join on (band_id, band_hash)
+  buckets, so the shuffle carries signatures, never O(n²) pairs.
+- SimHash: tf-weighted bit votes as 32 conditional sums per doc —
+  whole-stage-codegen'd, no UDF.
+- n-gram Jaccard: exact verify step for candidate pairs (scoped; the
+  all-pairs form is for tests/small scopes only).
+
+Portability discipline: every hash is md5-hex (identical in Spark,
+DuckDB, Python), and MinHash takes the lexicographic MIN of md5 hex
+strings — a valid uniform min-hash because equal-length hex strings
+order identically to their 128-bit values. This is what lets the
+DuckDB oracle reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pylate_spark.functions.tokenize import native_tokens_col
+
+
+def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(native_tokens_col(text_col))).alias("term"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by md5 of the normalized token stream.
+    Returns (doc_id, text_hash, group_size, keep) where keep marks the
+    lowest doc_id of each group (the canonical survivor)."""
+    norm = F.array_join(native_tokens_col(text_col), " ")
+    hashed = df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash over the distinct-term set: signature i =
+    min(md5(term || '#' || i)). Long output (doc_id, h, minhash)."""
+    t = _terms(df, id_col, text_col)
+    sigs = [
+        F.min(F.md5(F.concat(F.col("term"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    wide = t.groupBy("doc_id").agg(*sigs)
+    # unpivot to long for stable cross-engine comparison
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("h"), F.col(f"mh{i}").alias("minhash"))
+            for i in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.h").alias("h"), F.col("p.minhash").alias("minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band (band =
+    md5 of ``band_size`` concatenated signature values). Returns
+    distinct (doc_a, doc_b) with doc_a < doc_b. The pair join is on
+    band buckets, so cost scales with bucket collisions, not n²."""
+    sig = minhash_signatures(df, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
+    banded = (
+        sig.withColumn("band", (F.col("h") / F.lit(band_size)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """tf-weighted SimHash. Bit j of md5(term) is taken from hex digit
+    j (high bit of the nibble: digit >= '8'), portable across engines.
+    Returns (doc_id, simhash long)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(native_tokens_col(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("h", F.md5(F.col("term")))
+    votes = [
+        F.sum(
+            F.col("tf")
+            * F.when(F.substring(F.col("h"), j + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tf.groupBy("doc_id").agg(*votes)
+    sh = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh + bit
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all doc pairs sharing >= 1 shingle
+    (use on LSH candidates or scoped subsets; the shingle equi-join is
+    the candidate generator). Returns (doc_a, doc_b, jaccard)."""
+    toks = native_tokens_col(text_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    shingles = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+    ).where(F.col("shingle") != "")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -27,7 +27,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -156,11 +156,18 @@ def bm25_scan_topk(
     text_col: str = "text",
     params: BM25Params = BM25Params(),
     round_to: int | None = None,
+    allowed_filter: Column | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Index-free BM25 top-k, expressed as a declarative DataFrame plan
     (Catalyst does pushdown/broadcast/partial-agg). Used for the DuckDB
     oracle parity checks; ``round_to`` rounds the emitted double score
     so cross-engine float summation order cannot flip value hashes.
+
+    ``allowed_filter`` restricts *candidates* (corpus stats stay
+    global — the reference's subset semantics, fast_plaid.py:318-340);
+    ``conjunctive`` keeps only docs matching every query term (AND
+    mode; BM25 default is disjunctive).
     """
     from pylate_spark.functions.tokenize import native_tokens_col
 
@@ -183,16 +190,23 @@ def bm25_scan_topk(
     tl = terms_long(docs, id_col=id_col, text_col=text_col)
     tl_q = tl.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
     dfs = tl_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    candidates = tl_q if allowed_filter is None else tl_q.where(allowed_filter)
     scored = (
-        tl_q.join(F.broadcast(qt), "term")
+        candidates.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfs), "term")
         .withColumn(
             "contrib",
             bm25_score_col(F.col("tf"), F.col("dl"), F.col("df"), n_docs, avgdl, params),
         )
         .groupBy("query_id", "docid")
-        .agg(F.sum("contrib").alias("score_d"))
+        .agg(F.sum("contrib").alias("score_d"), F.count(F.lit(1)).alias("n_matched"))
     )
+    if conjunctive:
+        qsizes = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+        scored = scored.join(F.broadcast(qsizes), "query_id").where(
+            F.col("n_matched") == F.col("n_terms")
+        )
+    scored = scored.drop("n_matched", "n_terms")
     if round_to is not None:
         scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
     else:
