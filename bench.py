@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures the engine's two headline metrics from BASELINE.json —
+index-build docs/sec and BM25 top-10 queries/sec (rank-identical
+cascade path) — over the deterministic synthetic web-pages corpus
+(FIXTURES.md bench tier), plus a few catalog queries over the
+driver-provided sf tables.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] width (default all cores)
+  PYLATE_BENCH_DOCS    synthetic corpus size (default 200_000)
+  PYLATE_BENCH_MASTER  override master (e.g. local[8] for scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("PYLATE_BENCH_DOCS", "200000"))
+    master = os.environ.get("PYLATE_BENCH_MASTER")
+
+    from pylate_spark.config import IndexConfig
+    from pylate_spark.plans.build import build_index
+    from pylate_spark.plans.query import InvertedIndex
+    from pylate_spark.session import get_spark
+    from pylate_spark.sources.synth import synth_pages, synth_queries_pandas
+
+    spark = get_spark(app_name="pylate_bench", master=master)
+    cores = spark.sparkContext.defaultParallelism
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    idx_dir = tempfile.mkdtemp(prefix="pylate_bench_idx_")
+    corpus_dir = tempfile.mkdtemp(prefix="pylate_bench_pages_")
+    try:
+        # --- materialize the corpus table first (untimed: the engine's
+        # input contract is an existing pages table, BASELINE.json) ----
+        synth_pages(spark, n_docs).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)
+
+        # --- index build (SPIMI) ---------------------------------------
+        cfg = IndexConfig(shard_size=max(n_docs // (2 * cores), 4096), block_size=128,
+                          term_buckets=64)
+        t0 = time.time()
+        manifest = build_index(
+            spark, pages, idx_dir, config=cfg, shards_per_batch=4 * cores
+        )
+        timings["build_index"] = round(time.time() - t0, 3)
+        extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
+        extras["build_postings_per_sec"] = round(
+            manifest["n_postings"] / timings["build_index"], 1
+        )
+        extras["bytes_per_posting"] = round(
+            manifest["bytes"] / max(manifest["n_postings"], 1), 3
+        )
+
+        # --- batched query job (100 queries, one scatter-gather) -------
+        idx = InvertedIndex(spark, idx_dir)
+        qset = list(
+            zip(*synth_queries_pandas(100).to_dict("list").values())
+        )
+        for mode in ("cascade", "exhaustive"):
+            t0 = time.time()
+            n_rows = idx.search(qset, k=10, mode=mode).count()
+            timings[f"query_{mode}_100q"] = round(time.time() - t0, 3)
+            extras[f"qps_{mode}"] = round(100 / timings[f"query_{mode}_100q"], 2)
+            extras[f"query_{mode}_rows"] = n_rows
+
+        # --- catalog queries over driver testdata ----------------------
+        from pylate_spark.entry_queries import (
+            q_bm25_topk,
+            q_cosine_topk,
+            q_lsh_pairs,
+            q_simhash,
+        )
+
+        for name, fn in [
+            ("bm25_scan_topk", q_bm25_topk),
+            ("minhash_lsh_pairs", q_lsh_pairs),
+            ("simhash", q_simhash),
+            ("cosine_topk", q_cosine_topk),
+        ]:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_sec (build 200k-doc index + 100-query BM25 top-10 + catalog)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_docs_synth": n_docs,
+                "cores": cores,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pylate_spark.config import IndexConfig
 from pylate_spark.functions.tokenize import native_tokens_col, terms_long
 from pylate_spark.operators.docids import assign_docids
-from pylate_spark.plans.segments import SEGMENT_SCHEMA, group_carry_iterator
+from pylate_spark.plans.segments import SEGMENT_SCHEMA, arrow_carry_iterator
 
 MANIFEST = "manifest.json"
 
@@ -147,17 +147,26 @@ def _build_one_batch(
         shutil.rmtree(batch_dir)
     staged = spark.read.parquet(paths.staging).where(F.col("batch") == batch)
     tl = terms_long(staged.select("docid", "text"), id_col="docid", text_col="text")
-    tl = tl.withColumn("shard", (F.col("docid") / F.lit(config.shard_size)).cast("long"))
     block_size, n_buckets = config.block_size, config.term_buckets
+    tl = tl.withColumn(
+        "shard", (F.col("docid") / F.lit(config.shard_size)).cast("long")
+    ).withColumn("bucket", (F.crc32(F.col("term")) % F.lit(n_buckets)).cast("int"))
     encoded = (
         tl.repartition(shards_per_batch, "shard")
         .sortWithinPartitions("shard", "term", "docid")
-        .mapInPandas(
-            lambda it: group_carry_iterator(it, block_size, n_buckets),
+        .select("shard", "bucket", "term", "docid", "tf", "dl")
+        .mapInArrow(
+            lambda it: arrow_carry_iterator(it, block_size),
             schema=SEGMENT_SCHEMA,
         )
         .withColumn("batch", F.lit(batch))
     )
+    # co-locate each term bucket into one output file per batch:
+    # without this, every encode task writes into every bucket dir
+    # (tasks × buckets tiny files — a small-files explosion that slows
+    # both the write and every later bucket-pruned query scan). The
+    # extra shuffle moves only the compressed index, not the corpus.
+    encoded = encoded.repartition("bucket").sortWithinPartitions("term", "shard")
     encoded.write.mode("append").partitionBy("batch", "bucket").parquet(paths.segments)
 
     # metrics from the written data (cheap column scan, no payload read)

@@ -161,6 +161,154 @@ def encode_group_frame(
     return pd.DataFrame(rows)
 
 
+def encode_group_arrow(
+    shard: np.ndarray,
+    bucket: np.ndarray,
+    term: np.ndarray,
+    docid: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    block_size: int,
+):
+    """Arrow-native encode: same math as :func:`encode_group_frame`,
+    but the per-group block-metadata lists and payload slices are built
+    as zero-copy ``pa.ListArray``/``pa.BinaryArray`` structures —
+    no per-group Python loop. Expects input sorted by (shard, term,
+    docid); ``bucket`` is precomputed (crc32(term) % B, a native Spark
+    column) so no Python hashing happens here either.
+    """
+    import pyarrow as pa
+
+    n = docid.size
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (term[1:] != term[:-1]) | (shard[1:] != shard[:-1])
+    gstart = np.flatnonzero(change)
+    ngroups = gstart.size
+    gn = np.diff(np.append(gstart, n))
+    gid = np.cumsum(change) - 1
+    pos_in_g = np.arange(n, dtype=np.int64) - gstart[gid]
+
+    bs_mask = (pos_in_g % block_size) == 0
+    bs = np.flatnonzero(bs_mask)
+    bend = np.append(bs[1:], n) - 1
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = docid[1:] - docid[:-1]
+    deltas[bs] = 0
+
+    interleaved = np.empty(3 * n, dtype=np.int64)
+    interleaved[0::3] = deltas
+    interleaved[1::3] = tf
+    interleaved[2::3] = dl
+
+    v = interleaved.astype(np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nb += (v >> np.uint64(shift)) > 0
+    val_offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=val_offs[1:])
+    payload = np.zeros(val_offs[-1], dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        chunk = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
+        payload[val_offs[:-1][mask] + k] = chunk.astype(np.uint8) | cont
+
+    b_first = docid[bs]
+    b_last = docid[bend]
+    b_n = (bend - bs + 1).astype(np.int32)
+    b_max_tf = np.maximum.reduceat(tf, bs).astype(np.int32)
+    b_min_dl = np.minimum.reduceat(dl, bs).astype(np.int32)
+    block_gid = gid[bs]
+    b_off = val_offs[3 * bs] - val_offs[3 * gstart[block_gid]]
+
+    g_cf = np.add.reduceat(tf, gstart).astype(np.int64)
+    nblocks_per_g = np.bincount(block_gid, minlength=ngroups)
+    boff = np.zeros(ngroups + 1, dtype=np.int32)
+    np.cumsum(nblocks_per_g, out=boff[1:])
+    list_offsets = pa.array(boff)
+
+    # payload groups tile the byte stream contiguously → zero-copy binary
+    pay_offs = np.empty(ngroups + 1, dtype=np.int32)
+    pay_offs[:-1] = val_offs[3 * gstart]
+    pay_offs[-1] = val_offs[-1]
+    payload_arr = pa.Array.from_buffers(
+        pa.binary(), ngroups,
+        [None, pa.py_buffer(pay_offs.tobytes()), pa.py_buffer(payload.tobytes())],
+    )
+
+    def list_arr(vals, typ):
+        return pa.ListArray.from_arrays(list_offsets, pa.array(vals, type=typ))
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(bucket[gstart], type=pa.int32()),
+            pa.array(shard[gstart], type=pa.int64()),
+            pa.array(term[gstart], type=pa.string()),
+            pa.array(gn, type=pa.int64()),
+            pa.array(g_cf, type=pa.int64()),
+            list_arr(b_first, pa.int64()),
+            list_arr(b_last, pa.int64()),
+            list_arr(b_n, pa.int32()),
+            list_arr(b_max_tf, pa.int32()),
+            list_arr(b_min_dl, pa.int32()),
+            list_arr(b_off, pa.int64()),
+            payload_arr,
+        ],
+        names=[
+            "bucket", "shard", "term", "df", "cf",
+            "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off", "payload",
+        ],
+    )
+
+
+def arrow_carry_iterator(batches, block_size: int):
+    """mapInArrow adapter: encode complete (shard, term) groups per
+    Arrow batch, carrying the trailing incomplete group forward.
+    Input columns: shard, bucket, term, docid, tf, dl — sorted by
+    (shard, term, docid) within the partition."""
+    import pyarrow as pa
+
+    leftover = None
+    for rb in batches:
+        tbl = pa.Table.from_batches([rb])
+        if leftover is not None and leftover.num_rows:
+            tbl = pa.concat_tables([leftover, tbl])
+            leftover = None
+        if tbl.num_rows == 0:
+            continue
+        shard = tbl.column("shard").to_numpy()
+        term = np.asarray(tbl.column("term").to_pandas(), dtype=object)
+        last_s, last_t = shard[-1], term[-1]
+        is_tail = (shard == last_s) & (term == last_t)
+        nz = np.flatnonzero(~is_tail)
+        tail_start = (nz[-1] + 1) if nz.size else 0
+        leftover = tbl.slice(tail_start).combine_chunks()
+        if tail_start:
+            head = tbl.slice(0, tail_start)
+            yield encode_group_arrow(
+                shard[:tail_start],
+                head.column("bucket").to_numpy(),
+                term[:tail_start],
+                head.column("docid").to_numpy(),
+                head.column("tf").to_numpy().astype(np.int64),
+                head.column("dl").to_numpy().astype(np.int64),
+                block_size,
+            )
+    if leftover is not None and leftover.num_rows:
+        yield encode_group_arrow(
+            leftover.column("shard").to_numpy(),
+            leftover.column("bucket").to_numpy(),
+            np.asarray(leftover.column("term").to_pandas(), dtype=object),
+            leftover.column("docid").to_numpy(),
+            leftover.column("tf").to_numpy().astype(np.int64),
+            leftover.column("dl").to_numpy().astype(np.int64),
+            block_size,
+        )
+
+
 def group_carry_iterator(
     batches: Iterator[pd.DataFrame],
     block_size: int,
