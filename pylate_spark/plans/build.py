@@ -9,12 +9,13 @@ Mirrors the reference's four-phase resumable build
   counting (``dl``), staged corpus written partitioned by build batch —
   the analog of ``plan.json`` + the saved collection chunks
   (``collection_indexer.py:81-121``).
-- **index** (:func:`_build_batches`): per-batch SPIMI map+shuffle:
-  tokenize (vectorized pandas UDF) → ``(shard, term, docid, tf, dl)``
-  → hash-repartition on ``shard`` + local sort → streamed vectorized
-  posting-block encoding → append to the partitioned segments table.
-  Resume skips batches whose manifest entry is committed, exactly as
-  the reference skips already-saved chunks
+- **index** (:func:`_build_one_batch`): per-batch SPIMI build. The
+  *text* is exchanged once by doc-range shard; tokenize → local sort →
+  posting-block encode then run fused in one wide stage, so the long
+  ``(term, docid, tf, dl)`` rows never cross the network — they are
+  born, sorted, and compressed inside their shard's partition. Resume
+  skips batches whose manifest entry is committed, exactly as the
+  reference skips already-saved chunks
   (``collection_indexer.py:408-449``, ``index_saver.py:21-50``).
 - **finalize** (:func:`_finalize`): global term statistics (the SPIMI
   merge — per-(shard, term) runs aggregated per term; the recorded
@@ -105,6 +106,11 @@ def _stage_corpus(
     partitioned by batch. ``dl`` is computed with the *native*
     ``regexp_extract_all`` so corpus stats never re-tokenize (the UDF
     tokenizer is asserted equal to it in tests)."""
+    # project to the two columns the build needs before any exchange —
+    # html and other payload columns would otherwise ride through the
+    # range partitioner, the persist, and the staging write (Catalyst
+    # prunes scans, but the explicit select also bounds the cached rows)
+    pages = pages.select(key_col, text_col)
     with_ids, cache = assign_docids(pages, config.shard_size, key_col=key_col)
     if docid_base:
         with_ids = with_ids.withColumn("docid", F.col("docid") + F.lit(docid_base)).withColumn(
@@ -146,14 +152,22 @@ def _build_one_batch(
 
         shutil.rmtree(batch_dir)
     staged = spark.read.parquet(paths.staging).where(F.col("batch") == batch)
-    tl = terms_long(staged.select("docid", "text"), id_col="docid", text_col="text")
     block_size, n_buckets = config.block_size, config.term_buckets
-    tl = tl.withColumn(
-        "shard", (F.col("docid") / F.lit(config.shard_size)).cast("long")
-    ).withColumn("bucket", (F.crc32(F.col("term")) % F.lit(n_buckets)).cast("int"))
+    # SPIMI proper: exchange the *text* by doc-range shard first, then
+    # tokenize → local sort → encode fused in ONE wide stage. The long
+    # (term, docid, tf, dl) rows never cross the network: they are
+    # born, sorted, and compressed inside their shard's partition. This
+    # also pins tokenizer parallelism to shards_per_batch instead of
+    # the staging file-split layout (file packing had been starving it
+    # to a handful of straggler tasks).
+    sharded = staged.repartition(shards_per_batch, "shard").select("docid", "text")
+    tl = (
+        terms_long(sharded, id_col="docid", text_col="text")
+        .withColumn("shard", (F.col("docid") / F.lit(config.shard_size)).cast("long"))
+        .withColumn("bucket", (F.crc32(F.col("term")) % F.lit(n_buckets)).cast("int"))
+    )
     encoded = (
-        tl.repartition(shards_per_batch, "shard")
-        .sortWithinPartitions("shard", "term", "docid")
+        tl.sortWithinPartitions("shard", "term", "docid")
         .select("shard", "bucket", "term", "docid", "tf", "dl")
         .mapInArrow(
             lambda it: arrow_carry_iterator(it, block_size),

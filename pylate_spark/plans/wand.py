@@ -134,9 +134,7 @@ def score_shard(
         out_d.append(d)
         out_s.append(s)
     if not out_q:
-        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
-                             "docid": pd.Series(dtype=np.int64),
-                             "score": pd.Series(dtype=np.float32)})
+        return _empty_result()
     return pd.DataFrame(
         {
             "query_id": np.concatenate(out_q),
@@ -146,7 +144,22 @@ def score_shard(
     )
 
 
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype=np.int64),
+            "docid": pd.Series(dtype=np.int64),
+            "score": pd.Series(dtype=np.float32),
+        }
+    )
+
+
 def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params):
+    """No-pruning scorer — the in-engine correctness oracle (kept
+    per-query on purpose: a batched-across-queries variant was tried
+    and re-scores each head term's full posting run once per query
+    containing it, which is exactly the blow-up the cascade's pruning
+    exists to avoid)."""
     all_d, all_s = [], []
     for t in terms:
         docids, tfs, dls = st.full(t)

@@ -44,10 +44,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("PYLATE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("PYLATE_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # local mode: shuffle spill to tmpfs — a single shared NVMe serializes
+    # shuffle I/O across all executor threads; on a real cluster each
+    # executor has its own local disks, so this only corrects a
+    # single-box artifact (not applied when a cluster manager is used)
+    if master.startswith("local") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/pylate-spark-tmp")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -58,8 +58,10 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
     return p / p.sum()
 
 
-_HEAD_P = _zipf_probs(len(HEAD_TERMS), 1.1)
-_BODY_P = _zipf_probs(N_BODY_TERMS, 1.05)
+_HEAD_CUM = np.cumsum(_zipf_probs(len(HEAD_TERMS), 1.1))
+_BODY_CUM = np.cumsum(_zipf_probs(N_BODY_TERMS, 1.05))
+_HEAD_ARR = np.asarray(HEAD_TERMS, dtype=object)
+_BODY_ARR = np.asarray(BODY_TERMS, dtype=object)
 
 
 def doc_url(i: int) -> str:
@@ -67,25 +69,35 @@ def doc_url(i: int) -> str:
     return f"https://example.org/{i // 1000:04d}/{i % 1000:06d}"
 
 
-def synth_doc_words(i: int, seed: int = 42, n_docs: int | None = None) -> list[str]:
-    """Words for doc ``i`` — pure function of (i, seed, n_docs)."""
+def _rare_map(n_docs: int) -> dict[int, list[str]]:
+    """doc index -> injected rare terms (df(rare{r}) <= 3, deterministic)."""
+    m: dict[int, list[str]] = {}
+    for r in range(N_RARE_TERMS):
+        for rep in range(1 + (r % 3)):
+            m.setdefault((r * 13 + rep * 7) % n_docs, []).append(RARE_TERMS[r])
+    return m
+
+
+def synth_doc_words(
+    i: int, seed: int = 42, n_docs: int | None = None, rare: dict[int, list[str]] | None = None
+) -> list[str]:
+    """Words for doc ``i`` — pure function of (i, seed, n_docs).
+
+    Zipf sampling is inverse-CDF (searchsorted on a precomputed cumsum)
+    — equivalent distribution to ``rng.choice(p=...)`` but ~10× faster,
+    which is what makes multi-million-doc corpora generable."""
     rng = np.random.Generator(np.random.Philox(key=seed, counter=i))
     # doc length ~ lognormal, clipped to [5, 400]
     dl = int(np.clip(np.exp(rng.normal(3.6, 0.8)), 5, 400))
-    is_head = rng.random(dl) < 0.45
-    head_idx = rng.choice(len(HEAD_TERMS), size=dl, p=_HEAD_P)
-    body_idx = rng.choice(N_BODY_TERMS, size=dl, p=_BODY_P)
-    words = np.where(
-        is_head,
-        np.asarray(HEAD_TERMS, dtype=object)[head_idx],
-        np.asarray(BODY_TERMS, dtype=object)[body_idx],
-    ).tolist()
-    # rare-term injection: rare{r} appears in at most 3 docs, deterministically
+    u = rng.random((3, dl))
+    is_head = u[0] < 0.45
+    head_idx = np.searchsorted(_HEAD_CUM, u[1], side="right")
+    body_idx = np.searchsorted(_BODY_CUM, u[2], side="right")
+    words = np.where(is_head, _HEAD_ARR[head_idx], _BODY_ARR[body_idx]).tolist()
     if n_docs:
-        for r in range(N_RARE_TERMS):
-            for rep in range(1 + (r % 3)):  # df(rare{r}) <= 3
-                if (r * 13 + rep * 7) % n_docs == i:
-                    words.append(RARE_TERMS[r])
+        if rare is None:
+            rare = _rare_map(n_docs)
+        words.extend(rare.get(i, ()))
     return words
 
 
@@ -93,9 +105,10 @@ def synth_pages_pandas(n_docs: int, seed: int = 42, indices: np.ndarray | None =
     """Generate pages rows locally (used by the oracle tests and by the
     per-partition Spark generator below)."""
     idx = np.arange(n_docs, dtype=np.int64) if indices is None else np.asarray(indices, dtype=np.int64)
+    rare = _rare_map(n_docs)
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in idx.tolist():
-        words = synth_doc_words(i, seed=seed, n_docs=n_docs)
+        words = synth_doc_words(i, seed=seed, n_docs=n_docs, rare=rare)
         text = " ".join(words)
         urls.append(doc_url(i))
         tss.append(_EPOCH + timedelta(seconds=int(i)))

@@ -1,0 +1,90 @@
+"""Single scaling-study run: build + query the same fixed workload at a
+given parallelism; print one JSON line.
+
+The sandbox proxy for the north rule's "N vs 4N executors" criterion
+(BASELINE.md §B): identical input (deterministic synthetic corpus,
+pre-materialized parquet), identical index geometry (shard_size,
+shards_per_batch fixed — the index layout is a data property, not a
+cluster property), only the executor-thread count changes.
+
+Usage: python scripts/scaling_run.py <master> <n_docs> <corpus_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(master: str, n_docs: int, corpus_dir: str) -> None:
+    from pylate_spark.config import IndexConfig
+    from pylate_spark.plans.build import build_index
+    from pylate_spark.plans.query import InvertedIndex
+    from pylate_spark.session import get_spark
+    from pylate_spark.sources.synth import synth_pages, synth_queries_pandas
+
+    spark = get_spark(app_name=f"scaling_{master}", master=master)
+    cores = spark.sparkContext.defaultParallelism
+
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        synth_pages(spark, n_docs).write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+
+    cfg = IndexConfig(shard_size=16384, block_size=128, term_buckets=64)
+    # index output on tmpfs: a real 4N-executor cluster has 4N nodes'
+    # worth of local/DFS write bandwidth; this box has one shared NVMe,
+    # which would turn the durable-write phases into a flat serial term
+    # that measures the disk, not the engine. (Set PYLATE_SCALE_DISK=1
+    # to keep the index on disk and measure that variant too.)
+    base = None if os.environ.get("PYLATE_SCALE_DISK") else "/dev/shm"
+    idx_dir = tempfile.mkdtemp(prefix=f"pylate_scale_{cores}_", dir=base)
+    try:
+        # warm the JVM AND the python UDF workers (fork + numpy/pandas
+        # imports) with untimed mini-jobs so the measurement captures
+        # steady-state throughput, not spin-up
+        from pylate_spark.functions.tokenize import terms_long
+
+        terms_long(pages.limit(2000).select("docid", "text")
+                   if "docid" in pages.columns
+                   else pages.limit(2000).selectExpr("url as docid_str", "text")
+                   .selectExpr("crc32(docid_str) as docid", "text")).count()
+
+        t0 = time.time()
+        manifest = build_index(spark, pages, idx_dir, config=cfg, shards_per_batch=128)
+        build_sec = time.time() - t0
+
+        idx = InvertedIndex(spark, idx_dir)
+        n_q = 2000
+        qpdf = synth_queries_pandas(n_q)
+        qset = list(zip(qpdf["query_id"].tolist(), qpdf["text"].tolist()))
+        idx.search(qset[:8], k=10).count()  # warm the query path
+        t0 = time.time()
+        idx.search(qset, k=10, mode="cascade").count()
+        query_sec = time.time() - t0
+
+        print(
+            json.dumps(
+                {
+                    "master": master,
+                    "cores": cores,
+                    "n_docs": n_docs,
+                    "build_sec": round(build_sec, 3),
+                    "build_docs_per_sec": round(n_docs / build_sec, 1),
+                    "build_postings_per_sec": round(manifest["n_postings"] / build_sec, 1),
+                    "query_sec": round(query_sec, 3),
+                    "qps": round(n_q / query_sec, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), sys.argv[3])

@@ -1,0 +1,122 @@
+"""Focused unit tests for the pipeline operators beyond the SQL-parity
+harness: LSH recall behavior, multimodal plumbing, IVF probe recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pylate_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),          # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta IOTA"),           # near dup of 0
+        (3, "completely different words entirely unrelated content"),
+        (4, "ALPHA beta GAMMA delta epsilon zeta eta theta!!!"),       # normalizes to dup of 0
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_groups(dup_docs):
+    rows = {r["doc_id"]: r for r in dedup.exact_dedup(dup_docs).collect()}
+    assert rows[0]["group_size"] == 3 and rows[0]["keep"]
+    assert rows[1]["group_size"] == 3 and not rows[1]["keep"]
+    assert rows[4]["group_size"] == 3 and not rows[4]["keep"]
+    assert rows[3]["group_size"] == 1 and rows[3]["keep"]
+
+
+def test_lsh_finds_near_dups(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(dup_docs, n_hashes=8, band_size=2).collect()
+    }
+    # exact dups always collide on every band
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    # the unrelated doc shares no band with the dup cluster
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dups_are_close(dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}
+    assert sh[0] == sh[1] == sh[4]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_values(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(dup_docs, n=3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.Generator(np.random.Philox(key=7, counter=0))
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype(np.float32)  # near-dup of 0
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in base]})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_exact(emb):
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = similarity.cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos_sim"] > 0.99
+
+
+def test_ivf_probe_finds_near_dup(emb):
+    """The LSH-bucketed probe must find a near-identical vector (it
+    lands in the same bucket with overwhelming probability)."""
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = similarity.ivf_topk(emb, q, k=3, n_planes=4, dim=16).orderBy("rank").collect()
+    assert top and top[0]["vec_id"] == 1
+
+
+def test_embedding_near_dup_pairs(emb):
+    pairs = similarity.embedding_near_dup_pairs(emb, min_cos=0.95, n_planes=4, dim=16).collect()
+    assert any((r["vec_a"], r["vec_b"]) == (0, 1) for r in pairs)
+
+
+def test_multimodal_meta_and_features(spark):
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
+        (1, b"\xff\xd8\xff\xe0" + b"y" * 50),
+        (2, b"<html><body>hi</body></html>"),
+        (3, b"RIFF" + b"z" * 20),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    meta = {r["doc_id"]: r for r in multimodal.binary_meta(df).collect()}
+    assert meta[0]["media_type"] == "image/png"
+    assert meta[1]["media_type"] == "image/jpeg"
+    assert meta[2]["media_type"] == "text/html"
+    assert meta[3]["media_type"] == "riff"
+    assert meta[0]["n_bytes"] == 108
+
+    feats = {r["doc_id"]: r for r in multimodal.image_features(df).collect()}
+    assert feats[0]["decoder"] in ("stub-histogram", "pillow")
+    f = np.asarray(feats[0]["features"])
+    assert f.shape == (multimodal.FEATURE_DIM,) and abs(f.sum() - 1.0) < 1e-5
+    # deterministic: same payload → same features
+    feats2 = {r["doc_id"]: r for r in multimodal.image_features(df).collect()}
+    assert feats[1]["features"] == feats2[1]["features"]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "payload": [b"v" * 10000]}))
+    rows = multimodal.frame_sample_plan(df, every_n_bytes=4096).collect()
+    assert [r["byte_offset"] for r in rows] == [0, 4096]
