@@ -35,6 +35,18 @@ __all__ = ["idf_np", "tfn_np", "bm25_score_col", "bm25_sql_expr"]
 
 
 def idf_np(df: np.ndarray | float, n_docs: float) -> np.ndarray | float:
+    """Lucene-style non-negative idf.
+
+    Golden values (doctest-as-spec, the reference's discipline —
+    e.g. ``pylate/scores/colbert.py:54-64``):
+
+    >>> round(float(idf_np(1, 100)), 6)
+    4.209655
+    >>> round(float(idf_np(100, 100)), 6)
+    0.004963
+    >>> float(idf_np(0, 0))  # degenerate corpus: still finite
+    0.693147180559945...
+    """
     return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
@@ -44,6 +56,15 @@ def tfn_np(
     avgdl: float,
     params: BM25Params = BM25Params(),
 ) -> np.ndarray | float:
+    """BM25 tf normalization.
+
+    >>> round(float(tfn_np(1.0, 100.0, 100.0)), 6)   # dl == avgdl
+    1.0
+    >>> round(float(tfn_np(3.0, 50.0, 100.0)), 6)    # short doc boosted
+    1.76
+    >>> float(tfn_np(1000.0, 100.0, 100.0)) < 2.2    # saturates at k1+1
+    True
+    """
     return tf * (params.k1 + 1.0) / (tf + params.k1 * (1.0 - params.b + params.b * dl / avgdl))
 
 
