@@ -70,6 +70,11 @@ class InvertedIndex:
         self.config = IndexConfig.from_dict(self.manifest["config"])
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
+        # driver-side caches for repeated searches on one handle; a
+        # mutated index (add/delete/compact) needs a fresh InvertedIndex
+        # (the reference reloads its searcher after IndexUpdater runs)
+        self._seg = self.spark.read.parquet(self.paths.segments)
+        self._df_cache: dict[str, int | None] = {}
 
     # -- id resolution (the reference's id<->docid pickles,
     #    fast_plaid.py:136-174) ------------------------------------
@@ -79,6 +84,49 @@ class InvertedIndex:
     def resolve_urls(self, results: DataFrame) -> DataFrame:
         """Join ranked results back to urls (broadcast the small side)."""
         return results.join(self.docmap().select("docid", "url"), "docid", "left")
+
+    def doc_vectors(self, docids: list[int]) -> DataFrame:
+        """Reconstruct documents' indexed representations
+        ``(docid, term, tf, dl)`` from the segments — the analog of
+        ``index.get_documents_embeddings``
+        (``/root/reference/pylate/indexes/voyager.py:324-361``).
+        Scans only the requested docids' shards; decodes with selective
+        block skipping on the docid ranges."""
+        ids = np.sort(np.asarray(docids, dtype=np.int64))
+        shards = sorted({int(d) // self.config.shard_size for d in ids})
+
+        def gen(batches):
+            from pylate_spark.functions.codec import decode_postings
+            from pylate_spark.plans.segments import blocks_from_row
+
+            for pdf in batches:
+                out_d, out_t, out_tf, out_dl = [], [], [], []
+                for _, row in pdf.iterrows():
+                    b = blocks_from_row(row)
+                    lo = np.searchsorted(ids, b.first, side="left")
+                    hi = np.searchsorted(ids, b.last, side="right")
+                    need = np.flatnonzero(hi > lo)
+                    if need.size == 0:
+                        continue
+                    d, tf, dl = decode_postings(row["payload"], b, select=need)
+                    keep = np.isin(d, ids, assume_unique=True)
+                    if keep.any():
+                        out_d.append(d[keep])
+                        out_tf.append(tf[keep])
+                        out_dl.append(dl[keep])
+                        out_t.extend([row["term"]] * int(keep.sum()))
+                if out_d:
+                    yield pd.DataFrame(
+                        {
+                            "docid": np.concatenate(out_d),
+                            "term": out_t,
+                            "tf": np.concatenate(out_tf).astype(np.int32),
+                            "dl": np.concatenate(out_dl).astype(np.int32),
+                        }
+                    )
+
+        seg = self._seg.where(F.col("shard").isin(shards))
+        return seg.mapInPandas(gen, schema="docid long, term string, tf int, dl int")
 
     # -- tombstones (delete support, index_updater.py:52-69) --------
     def _tombstones(self) -> np.ndarray | None:
@@ -114,15 +162,22 @@ class InvertedIndex:
             return self.spark.createDataFrame([], RANKED_SCHEMA)
 
         buckets = sorted({zlib.crc32(t.encode()) % self.config.term_buckets for t in all_terms})
-        stats = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .where(F.col("term").isin(all_terms))
-            .select("term", "df")
-            .collect()
-        )
+        missing = [t for t in all_terms if t not in self._df_cache]
+        if missing:
+            stats = (
+                self.spark.read.parquet(self.paths.term_stats)
+                .where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in stats}
+            for t in missing:
+                self._df_cache[t] = found.get(t)  # None = not in vocabulary
         n, params = self.n_docs, self.config.bm25
         idf = {
-            r["term"]: float(np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)) for r in stats
+            t: float(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
+            for t in all_terms
+            if (df := self._df_cache.get(t)) is not None
         }
         qmap = {qid: [t for t in ts if t in idf] for qid, ts in qmap.items()}
         qmap = {qid: ts for qid, ts in qmap.items() if ts}
@@ -134,7 +189,7 @@ class InvertedIndex:
         avgdl, kk, md = self.avgdl, k, mode
 
         seg = (
-            self.spark.read.parquet(self.paths.segments)
+            self._seg
             .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(idf)))
             .select("shard", "term", "df", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off", "payload")
         )

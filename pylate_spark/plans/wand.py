@@ -58,6 +58,7 @@ class ShardTerms:
         self.rows = {r["term"]: r for _, r in pdf.iterrows()}
         self.blocks = {t: blocks_from_row(r) for t, r in self.rows.items()}
         self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self.tombstones = tombstones
         self.allowed = allowed
 
@@ -80,6 +81,18 @@ class ShardTerms:
             out = decode_postings(r["payload"], self.blocks[term])
             self._full[term] = self._mask(*out)
         return self._full[term]
+
+    def contrib(self, term: str, idf: float, avgdl: float, params) -> tuple[np.ndarray, np.ndarray]:
+        """(docids, idf·tfn contributions), cached — shared across all
+        queries in the batch (a head term's scores are computed once
+        per shard, not once per query)."""
+        if term not in self._contrib:
+            docids, tfs, dls = self.full(term)
+            self._contrib[term] = (
+                docids,
+                idf * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params),
+            )
+        return self._contrib[term]
 
     def at_candidates(self, term: str, cand: np.ndarray):
         """Decode only blocks whose docid range intersects ``cand``;
@@ -162,11 +175,11 @@ def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params):
     exists to avoid)."""
     all_d, all_s = [], []
     for t in terms:
-        docids, tfs, dls = st.full(t)
+        docids, contrib = st.contrib(t, idf[t], avgdl, params)
         if docids.size == 0:
             continue
         all_d.append(docids)
-        all_s.append(idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params))
+        all_s.append(contrib)
     if not all_d:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     cat_d = np.concatenate(all_d)
@@ -199,9 +212,8 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
             theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
             if suffix[i] < theta:
                 break
-        docids, tfs, dls = st.full(t)
+        docids, contrib = st.contrib(t, idf[t], avgdl, params)
         if docids.size:
-            contrib = idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
             cat_d = np.concatenate([acc_d, docids])
             cat_s = np.concatenate([acc_s, contrib])
             acc_d, inv = np.unique(cat_d, return_inverse=True)

@@ -100,3 +100,26 @@ def test_scan_topk_matches_oracle(spark, pages_t2, pages_t2_pdf, queries_pdf):
     want, _ = _oracle_results(pages_t2_pdf, queries_pdf.iloc[:15], k=K)
     cache.unpersist()
     assert_rank_identical(got, want)
+
+
+def test_doc_vectors_roundtrip(spark, built_index, pages_t2_pdf):
+    """Reconstructing a document's indexed representation must equal
+    re-tokenizing its text (the get_documents_embeddings analog)."""
+    from collections import Counter
+
+    from pylate_spark.functions.tokenize import tokenize_py
+    from pylate_spark.plans.query import InvertedIndex
+
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    target = [5, 123, 1999]
+    rows = idx.doc_vectors(target).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["docid"], {})[r["term"]] = (r["tf"], r["dl"])
+    assert set(got) == set(target)
+    for docid in target:
+        toks = tokenize_py(pages_t2_pdf["text"].iloc[docid])
+        want = Counter(toks)
+        assert {t: tf for t, (tf, _) in got[docid].items()} == dict(want)
+        assert all(dl == len(toks) for _, dl in got[docid].values())
