@@ -122,29 +122,77 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scan_topk(docs, _queryset_df(spark), k=K, round_to=4, conjunctive=True)
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _indexed(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a real index over the
+    documents table; shared by the indexed-path catalog entries."""
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        from pylate_spark.config import IndexConfig
+        from pylate_spark.plans.build import build_index
+
+        d = tempfile.mkdtemp(prefix="pylate_idx_")
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            d,
+            config=IndexConfig(shard_size=2048, block_size=128, term_buckets=16),
+            shards_per_batch=16,
+            key_col="doc_id",
+            text_col="text",
+        )
+        _INDEX_CACHE[sf_dir] = d
+    return _INDEX_CACHE[sf_dir]
+
+
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine path (build index → block-max cascade search) over
     the documents table. Driver-checked rows-only (float32 emit makes
     SQL hash comparison brittle); pytest asserts rank-equality with the
     scan path."""
-    import tempfile
-
-    from pylate_spark.config import IndexConfig
-    from pylate_spark.plans.build import build_index
     from pylate_spark.plans.query import InvertedIndex
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    d = tempfile.mkdtemp(prefix="pylate_idx_")
-    build_index(
-        spark,
-        docs,
-        d,
-        config=IndexConfig(shard_size=2048, block_size=128, term_buckets=16),
-        shards_per_batch=16,
-        key_col="doc_id",
-        text_col="text",
+    return InvertedIndex(spark, _indexed(spark, sf_dir)).search(QUERYSET, k=K, mode="cascade")
+
+
+def q_term_stats_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term statistics read back from the BUILT index — integer
+    outputs, so the whole SPIMI pipeline (tokenize → shard shuffle →
+    block encode → stats merge) is value-hash-checked against DuckDB."""
+    d = _indexed(spark, sf_dir)
+    ts = spark.read.parquet(f"{d}/term_stats")
+    return (
+        ts.select("term", "df", "cf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
     )
-    return InvertedIndex(spark, d).search(QUERYSET, k=K, mode="cascade")
+
+
+def q_doc_vectors_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed representations of fixed docids decoded back out of the
+    posting payloads (selective block decode) — integer outputs, so the
+    varint/delta codec roundtrip is value-hash-checked against DuckDB's
+    direct tokenization."""
+    from pylate_spark.plans.query import InvertedIndex
+
+    idx = InvertedIndex(spark, _indexed(spark, sf_dir))
+    return idx.doc_vectors([3, 7, 11, 42]).select(
+        "docid", "term", F.col("tf").cast("long").alias("tf"), F.col("dl").cast("int").alias("dl")
+    )
+
+
+SQL_DOC_VECTORS = f"""
+WITH toks AS (
+  SELECT doc_id AS docid, {TOKEN_SQL} AS t FROM documents WHERE doc_id IN (3, 7, 11, 42)
+)
+SELECT docid, term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(any_value(ln) AS INTEGER) AS dl
+FROM (SELECT docid, unnest(t) AS term, len(t) AS ln FROM toks)
+GROUP BY docid, term
+"""
 
 
 # ------------------------------------------------------- corpus analysis --
@@ -567,6 +615,8 @@ def catalog() -> dict[str, tuple]:
         "bm25_subset": (q_bm25_subset, _bm25_sql(extra_where="tf.doc_id % 3 = 0")),
         "bm25_conjunctive": (q_bm25_conjunctive, _bm25_conjunctive_sql()),
         "bm25_topk_indexed": (q_bm25_topk_indexed, None),
+        "term_stats_indexed": (q_term_stats_indexed, SQL_TERM_DF_TOP100),
+        "doc_vectors_indexed": (q_doc_vectors_indexed, SQL_DOC_VECTORS),
         "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
         "term_df_top100": (q_term_df_top100, SQL_TERM_DF_TOP100),
         "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
