@@ -243,3 +243,35 @@ def compact(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> 
     )
     save_manifest(paths, manifest)
     return _finalize(spark, paths, config, manifest)
+
+
+def consolidate_segments(spark: SparkSession, index_dir: str) -> dict:
+    """File-level segment consolidation: after many incremental adds,
+    the segments table accumulates one directory tree per batch; this
+    rewrites all rows into a single batch partition (~one file per
+    term bucket) WITHOUT decoding payloads — per-(shard, term) runs are
+    unique across batches by construction (batch-aligned docid bases),
+    so consolidation is a pure file merge, the trivial-fan-in SPIMI
+    merge at the storage layer. Reference analog: chunk consolidation
+    in ``index_updater.py:414-460`` minus the recompression."""
+    paths = IndexPaths(index_dir)
+    manifest = load_manifest(paths)
+    if not manifest.get("finalized"):
+        raise ValueError("consolidate_segments requires a finalized index")
+    seg = spark.read.parquet(paths.segments).drop("batch")
+    tmp = paths.segments + "_tmp"
+    (
+        seg.withColumn("batch", F.lit(0))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "shard")
+        .write.mode("overwrite")
+        .partitionBy("batch", "bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(paths.segments)
+    os.replace(tmp, paths.segments)
+    manifest.setdefault("lineage", []).append(
+        {"stage": "consolidate_segments", "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    )
+    save_manifest(paths, manifest)
+    return manifest

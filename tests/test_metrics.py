@@ -1,0 +1,79 @@
+"""Hand-computed metric goldens (the reference's unit-test style,
+e.g. ``tests/test_xtr_scoring.py:13-43``) + a consolidation test."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pylate_spark.operators.metrics import hits_at_k, ndcg_at_k
+
+
+@pytest.fixture(scope="module")
+def eval_frames(spark):
+    results = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 0, 0, 1, 1],
+                "rank": [1, 2, 3, 1, 2],
+                "docid": [10, 11, 12, 20, 21],
+                "score": [5.0, 4.0, 3.0, 2.0, 1.0],
+            }
+        )
+    )
+    qrels = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [0, 0, 1, 1],
+                "docid": [11, 99, 20, 21],
+                "relevance": [2, 1, 1, 1],
+            }
+        )
+    )
+    return results, qrels
+
+
+def test_ndcg_golden(eval_frames):
+    results, qrels = eval_frames
+    got = {r["query_id"]: r["ndcg"] for r in ndcg_at_k(results, qrels, k=3).collect()}
+    # q0: hit doc11 (rel 2) at rank 2 -> dcg = 3/log2(3); ideal = 3/1 + 1/log2(3)
+    dcg0 = 3 / math.log2(3)
+    idcg0 = 3 / math.log2(2) + 1 / math.log2(3)
+    assert got[0] == pytest.approx(round(dcg0 / idcg0, 6))
+    # q1: both relevant docs at ranks 1,2 = ideal ordering -> ndcg 1.0
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_hits_golden(eval_frames):
+    results, qrels = eval_frames
+    got = {r["query_id"]: r["hits"] for r in hits_at_k(results, qrels, k=3).collect()}
+    assert got[0] == pytest.approx(0.5)  # 1 of 2 relevant found
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_consolidate_segments(spark, tmp_path):
+    """After an incremental add, consolidation must reduce batch dirs
+    to one without changing any search result."""
+    import os
+
+    from pylate_spark.config import IndexConfig
+    from pylate_spark.plans.build import build_index
+    from pylate_spark.plans.maintenance import add_documents, consolidate_segments
+    from pylate_spark.plans.query import InvertedIndex
+    from pylate_spark.sources.synth import synth_pages_pandas
+
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(shard_size=64, block_size=32, term_buckets=8)
+    build_index(spark, spark.createDataFrame(synth_pages_pandas(200)), d, config=cfg, shards_per_batch=2)
+    add_documents(spark, spark.createDataFrame(synth_pages_pandas(100, seed=9)), d, shards_per_batch=2)
+    q = [(0, "the w00004"), (1, "w00001 w00002")]
+    before = InvertedIndex(spark, d).search(q, k=10).orderBy("query_id", "rank").collect()
+    n_dirs_before = len([x for x in os.listdir(f"{d}/segments") if x.startswith("batch=")])
+    assert n_dirs_before > 1
+    consolidate_segments(spark, d)
+    n_dirs_after = len([x for x in os.listdir(f"{d}/segments") if x.startswith("batch=")])
+    assert n_dirs_after == 1
+    after = InvertedIndex(spark, d).search(q, k=10).orderBy("query_id", "rank").collect()
+    assert before == after
