@@ -60,7 +60,13 @@ def add_documents(
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
     if not manifest.get("finalized"):
-        raise ValueError("add_documents requires a finalized index")
+        # a previous add died mid-build: re-staging the same docs would
+        # duplicate them under a second docid range — the caller must
+        # first complete the interrupted add (without re-passing docs)
+        raise ValueError(
+            "index has an incomplete add in progress; call "
+            "resume_add(spark, index_dir) to finish it, then retry"
+        )
     config = IndexConfig.from_dict(manifest["config"])
     batch_span = config.shard_size * shards_per_batch
     cur_max = int(
@@ -84,6 +90,28 @@ def add_documents(
     save_manifest(paths, manifest)
 
     for batch in range(n_batches):
+        key = str(batch)
+        if manifest["batches"].get(key, {}).get("status") == "committed":
+            continue
+        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, shards_per_batch)
+        save_manifest(paths, manifest)
+    return _finalize(spark, paths, config, manifest)
+
+
+def resume_add(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> dict:
+    """Complete an interrupted ``add_documents`` (or initial build that
+    was staged but killed mid-batches): builds every uncommitted batch
+    from the already-staged corpus and re-finalizes. Idempotent — the
+    staged rows carry their docids, so no re-staging and no duplicates
+    (the resume discipline of ``collection_indexer.py:64-71``)."""
+    paths = IndexPaths(index_dir)
+    manifest = load_manifest(paths)
+    if manifest.get("finalized"):
+        return manifest
+    if not manifest.get("staged"):
+        raise ValueError("nothing staged at this index dir; use build_index")
+    config = IndexConfig.from_dict(manifest["config"])
+    for batch in range(manifest["n_batches"]):
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue

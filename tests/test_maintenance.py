@@ -143,3 +143,42 @@ def test_add_then_delete_then_compact(spark, corpus_pdf, index_dir):
     oracle.add([(base + i, extra_pdf["text"].iloc[j]) for i, j in enumerate(order)])
     oracle.delete(set(range(0, N_DOCS, 3)))
     _assert_matches_oracle(after, oracle)
+
+
+def test_add_killed_then_resumed(spark, corpus_pdf, index_dir, monkeypatch):
+    """A crash mid-add must not duplicate documents: re-calling
+    add_documents raises; resume_add completes from staged state and
+    the result matches a clean add."""
+    from pylate_spark.plans import maintenance as M
+    from pylate_spark.plans.maintenance import resume_add
+
+    extra_pdf = synth_pages_pandas(120, seed=999)
+    orig = M._build_one_batch
+    calls = {"n": 0}
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill during add")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(M, "_build_one_batch", dying)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        add_documents(spark, spark.createDataFrame(extra_pdf), index_dir, shards_per_batch=SPB)
+    monkeypatch.setattr(M, "_build_one_batch", orig)
+
+    # re-adding the same docs must be refused while incomplete
+    with pytest.raises(ValueError, match="incomplete add"):
+        add_documents(spark, spark.createDataFrame(extra_pdf), index_dir, shards_per_batch=SPB)
+
+    manifest = resume_add(spark, index_dir, shards_per_batch=SPB)
+    assert manifest["finalized"]
+
+    base = ((N_DOCS - 1) // (CFG.shard_size * SPB) + 1) * (CFG.shard_size * SPB)
+    oracle = OracleIndex(list(zip(range(N_DOCS), corpus_pdf["text"])))
+    order = np.argsort(extra_pdf["url"].to_numpy())
+    oracle.add([(base + i, extra_pdf["text"].iloc[j]) for i, j in enumerate(order)])
+    idx = InvertedIndex(spark, index_dir)
+    assert idx.n_docs == oracle.n_docs
+    got = _ranked(idx.search(QUERIES, k=K))
+    _assert_matches_oracle(got, oracle)
