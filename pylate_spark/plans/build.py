@@ -33,13 +33,13 @@ append, fan-in recorded per term).
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pylate_spark import storage
 from pylate_spark.config import IndexConfig
 from pylate_spark.functions.tokenize import native_tokens_col, terms_long
 from pylate_spark.operators.docids import assign_docids
@@ -50,46 +50,49 @@ MANIFEST = "manifest.json"
 
 @dataclass
 class IndexPaths:
+    """Index directory layout. ``root`` may be a plain local path or
+    any URI PyArrow/Hadoop speak (``file://``, ``hdfs://``, ``s3://``)
+    — all driver-side state access goes through
+    :mod:`pylate_spark.storage`, never raw ``os``/``shutil``."""
+
     root: str
 
     @property
     def staging(self) -> str:
-        return os.path.join(self.root, "staging")
+        return storage.join(self.root, "staging")
 
     @property
     def segments(self) -> str:
-        return os.path.join(self.root, "segments")
+        return storage.join(self.root, "segments")
 
     @property
     def term_stats(self) -> str:
-        return os.path.join(self.root, "term_stats")
+        return storage.join(self.root, "term_stats")
 
     @property
     def docmap(self) -> str:
-        return os.path.join(self.root, "docmap")
+        return storage.join(self.root, "docmap")
 
     @property
     def tombstones(self) -> str:
-        return os.path.join(self.root, "tombstones")
+        return storage.join(self.root, "tombstones")
 
     @property
     def manifest(self) -> str:
-        return os.path.join(self.root, MANIFEST)
+        return storage.join(self.root, MANIFEST)
 
 
 def load_manifest(paths: IndexPaths) -> dict:
-    if os.path.exists(paths.manifest):
-        with open(paths.manifest) as f:
-            return json.load(f)
+    if storage.exists(paths.manifest):
+        return json.loads(storage.read_text(paths.manifest))
     return {}
 
 
 def save_manifest(paths: IndexPaths, manifest: dict) -> None:
-    os.makedirs(paths.root, exist_ok=True)
-    tmp = paths.manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
-    os.replace(tmp, paths.manifest)  # atomic commit, crash-safe
+    storage.makedirs(paths.root)
+    # atomic commit point — see storage module notes on the semantics
+    # per filesystem class
+    storage.write_text(paths.manifest, json.dumps(manifest, indent=1, default=str))
 
 
 def _stage_corpus(
@@ -146,11 +149,8 @@ def _build_one_batch(
     # the batch directory is the atomic unit of commit (the analog of
     # the reference's per-chunk save + chunk-exists resume check,
     # ``index_saver.py:28-50``)
-    batch_dir = os.path.join(paths.segments, f"batch={batch}")
-    if os.path.exists(batch_dir):
-        import shutil
-
-        shutil.rmtree(batch_dir)
+    batch_dir = storage.join(paths.segments, f"batch={batch}")
+    storage.rmtree(batch_dir)
     staged = spark.read.parquet(paths.staging).where(F.col("batch") == batch)
     block_size, n_buckets = config.block_size, config.term_buckets
     # SPIMI proper: exchange the *text* by doc-range shard first, then
@@ -222,7 +222,7 @@ def _tombstone_deltas(spark: SparkSession, paths: IndexPaths):
     """(per-term df/cf deltas DF, n_deleted_tokenized, deleted sum_dl)
     for all tombstoned docids, recomputed exactly from staged text.
     Returns (None, 0, 0) when there are no tombstones."""
-    if not os.path.exists(paths.tombstones):
+    if not storage.exists(paths.tombstones):
         return None, 0, 0
     tomb = spark.read.parquet(paths.tombstones).distinct()
     staged = spark.read.parquet(paths.staging)
@@ -316,17 +316,12 @@ def build_index(
     manifest = load_manifest(paths) if resume else {}
     if manifest.get("finalized"):
         return manifest
-    if not resume and os.path.exists(paths.root):
-        import shutil
-
-        shutil.rmtree(paths.root)
-    os.makedirs(paths.root, exist_ok=True)
+    if not resume:
+        storage.rmtree(paths.root)
+    storage.makedirs(paths.root)
 
     if not manifest.get("staged"):
-        if os.path.exists(paths.staging):  # killed mid-staging → redo atomically
-            import shutil
-
-            shutil.rmtree(paths.staging)
+        storage.rmtree(paths.staging)  # killed mid-staging → redo atomically
         _stage_corpus(spark, pages, paths, config, shards_per_batch, key_col, text_col)
         n_batches = (
             spark.read.parquet(paths.staging).agg(F.max("batch")).collect()[0][0] or 0
@@ -335,6 +330,10 @@ def build_index(
             "staged": True,
             "n_batches": int(n_batches),
             "config": config.to_dict(),
+            # the batch geometry is part of the physical plan: docid →
+            # batch mapping must stay stable across incremental adds
+            # (add_documents validates against this persisted value)
+            "shards_per_batch": int(shards_per_batch),
             "batches": {},
             "lineage": [
                 {

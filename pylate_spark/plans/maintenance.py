@@ -19,17 +19,30 @@ Reference analogs:
 - ``compact`` physically drops tombstoned postings and rewrites
   segments — the analog of the reference's chunk rewrite
   (``index_updater.py:414-460``).
+
+Idempotence / replay contract (used by streaming ingest):
+- batch geometry (``shards_per_batch``) is persisted in the manifest at
+  build time; adds always reuse it, so new batch ids can never collide
+  with committed ones (new ids are allocated past
+  ``max(committed batch, staged docid range)``).
+- every add is bracketed by manifest commits: a ``pending_add`` marker
+  is written *before* staging (so a crash mid-staging is detected and
+  the partial batch dirs purged on the next attempt), and the
+  ``epoch_key`` (if any) is recorded in ``applied_epochs`` in the same
+  atomic manifest write that commits the staged rows — so a replayed
+  epoch either finds its key (skip) or finds no trace of its rows
+  (safe to redo). See :mod:`pylate_spark.streaming.ingest`.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pylate_spark import storage
 from pylate_spark.config import IndexConfig
 from pylate_spark.functions.tokenize import terms_long
 from pylate_spark.plans.build import (
@@ -42,20 +55,61 @@ from pylate_spark.plans.build import (
 )
 
 
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def _persisted_spb(manifest: dict, caller_value: int | None) -> int:
+    """The batch geometry fixed at build time. A caller-supplied value
+    is validated, never trusted: deriving batch numbers from a
+    different shards_per_batch than the build's would collide new batch
+    ids with committed manifest entries (silently dropping the docs)."""
+    spb = int(manifest.get("shards_per_batch", caller_value or 64))
+    if caller_value is not None and caller_value != spb:
+        raise ValueError(
+            f"index was built with shards_per_batch={spb}; "
+            f"got {caller_value} — omit the argument to reuse the built geometry"
+        )
+    return spb
+
+
+def _purge_staged_batches(paths: IndexPaths, first_batch: int) -> None:
+    """Remove staged batch partitions >= first_batch (repair path for
+    an add that crashed between staging write and manifest commit)."""
+    for name in storage.listdir(paths.staging):
+        if not name.startswith("batch="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b >= first_batch:
+            storage.rmtree(storage.join(paths.staging, name))
+
+
 def add_documents(
     spark: SparkSession,
     new_pages: DataFrame,
     index_dir: str,
-    shards_per_batch: int = 64,
+    shards_per_batch: int | None = None,
     key_col: str = "url",
     text_col: str = "text",
+    epoch_key: str | None = None,
 ) -> dict:
     """Append new documents as fresh build batches.
 
-    New docids start at the next batch-aligned boundary past the
-    current maximum, so (a) existing committed batches are untouched,
-    (b) every (shard, term) run stays unique — no cross-batch posting
-    merge is ever needed at query time.
+    New docids start at the next batch-aligned boundary past both the
+    current staged maximum AND every batch id the manifest has ever
+    committed, so (a) existing committed batches are untouched, (b)
+    every (shard, term) run stays unique — no cross-batch posting merge
+    is ever needed at query time — and (c) batch ids never collide even
+    after a compact emptied the trailing batch.
+
+    ``epoch_key`` makes the add idempotent per key (exactly-once under
+    Structured Streaming epoch replay): an already-applied key returns
+    immediately; a key whose previous attempt crashed mid-staging is
+    detected via the ``pending_add`` manifest marker and its partial
+    rows purged before redoing.
     """
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
@@ -67,15 +121,40 @@ def add_documents(
             "index has an incomplete add in progress; call "
             "resume_add(spark, index_dir) to finish it, then retry"
         )
+    if epoch_key is not None and epoch_key in manifest.get("applied_epochs", []):
+        return manifest  # replayed epoch whose rows already committed
     config = IndexConfig.from_dict(manifest["config"])
-    batch_span = config.shard_size * shards_per_batch
+    spb = _persisted_spb(manifest, shards_per_batch)
+    batch_span = config.shard_size * spb
+
+    # repair a half-staged previous add: its rows were never committed
+    # (the post-staging manifest write didn't happen), so purge them —
+    # whichever epoch they belonged to will be replayed by its source
+    pending = manifest.get("pending_add")
+    if pending:
+        _purge_staged_batches(paths, int(pending["first_new_batch"]))
+        manifest.pop("pending_add")
+        save_manifest(paths, manifest)
+
     cur_max = int(
         spark.read.parquet(paths.staging).agg(F.max("docid")).collect()[0][0] or -1
     )
-    docid_base = ((cur_max // batch_span) + 1) * batch_span
+    committed_max = max((int(k) for k in manifest.get("batches", {})), default=-1)
+    next_batch = max(cur_max // batch_span, committed_max) + 1
+    docid_base = next_batch * batch_span
+
+    # pre-stage marker: committed BEFORE any staged row becomes visible,
+    # so a crash inside the staging job is detectable and repairable
+    manifest["pending_add"] = {
+        "first_new_batch": next_batch,
+        "docid_base": docid_base,
+        "epoch_key": epoch_key,
+        "at": _now(),
+    }
+    save_manifest(paths, manifest)
 
     _stage_corpus(
-        spark, new_pages, paths, config, shards_per_batch, key_col, text_col,
+        spark, new_pages, paths, config, spb, key_col, text_col,
         docid_base=docid_base,
     )
     n_batches = int(
@@ -83,9 +162,14 @@ def add_documents(
     ) + 1
     manifest["n_batches"] = n_batches
     manifest["finalized"] = False
+    manifest.pop("pending_add", None)
+    if epoch_key is not None:
+        # recorded in the SAME atomic write that commits the staged rows:
+        # a replay after this point skips; before it, finds purged rows
+        manifest.setdefault("applied_epochs", []).append(epoch_key)
     manifest.setdefault("lineage", []).append(
-        {"stage": "add_documents", "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-         "docid_base": docid_base}
+        {"stage": "add_documents", "at": _now(),
+         "docid_base": docid_base, "epoch_key": epoch_key}
     )
     save_manifest(paths, manifest)
 
@@ -93,12 +177,14 @@ def add_documents(
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue
-        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, shards_per_batch)
+        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb)
         save_manifest(paths, manifest)
     return _finalize(spark, paths, config, manifest)
 
 
-def resume_add(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> dict:
+def resume_add(
+    spark: SparkSession, index_dir: str, shards_per_batch: int | None = None
+) -> dict:
     """Complete an interrupted ``add_documents`` (or initial build that
     was staged but killed mid-batches): builds every uncommitted batch
     from the already-staged corpus and re-finalizes. Idempotent — the
@@ -111,11 +197,12 @@ def resume_add(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) 
     if not manifest.get("staged"):
         raise ValueError("nothing staged at this index dir; use build_index")
     config = IndexConfig.from_dict(manifest["config"])
+    spb = _persisted_spb(manifest, shards_per_batch)
     for batch in range(manifest["n_batches"]):
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue
-        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, shards_per_batch)
+        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb)
         save_manifest(paths, manifest)
     return _finalize(spark, paths, config, manifest)
 
@@ -128,7 +215,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
         raise ValueError("delete_documents requires a finalized index")
 
     ids_df = spark.createDataFrame([(int(d),) for d in docids], "docid long").distinct()
-    if os.path.exists(paths.tombstones):
+    if storage.exists(paths.tombstones):
         # idempotent: ignore ids already tombstoned (double-delete guard)
         ids_df = ids_df.join(spark.read.parquet(paths.tombstones), "docid", "left_anti")
     ids_df = ids_df.cache()
@@ -154,8 +241,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     )
     tmp = paths.term_stats + "_tmp"
     new_ts.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(paths.term_stats)
-    os.replace(tmp, paths.term_stats)
+    storage.rename(tmp, paths.term_stats)
 
     d = deleted.agg(
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
@@ -167,77 +253,93 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     manifest["sum_dl"] = sum_dl - dl_del
     manifest["avgdl"] = (manifest["sum_dl"] / manifest["n_docs"]) if manifest["n_docs"] else 0.0
     manifest.setdefault("lineage", []).append(
-        {"stage": "delete_documents", "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-         "n_deleted": n_del}
+        {"stage": "delete_documents", "at": _now(), "n_deleted": n_del}
     )
     save_manifest(paths, manifest)
     return manifest
 
 
-def compact(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> dict:
+def compact(spark: SparkSession, index_dir: str) -> dict:
     """Physically remove tombstoned postings: decode → filter →
-    re-encode every segment row (vectorized per posting list), rewrite
+    re-encode, one *vectorized* codec pass per Arrow batch (all
+    surviving groups of a batch are re-encoded in a single
+    ``encode_group_arrow`` call — no per-row Python encode), rewrite
     the segments table, clear tombstones, re-finalize stats — the
     analog of the reference's chunk rewrite on delete
     (``index_updater.py:414-460``)."""
-    import numpy as np
-    import pandas as pd
-
-    from pylate_spark.functions.codec import decode_postings, encode_postings
-    from pylate_spark.plans.segments import SEGMENT_SCHEMA, blocks_from_row, _crc32_bucket
-
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
     config = IndexConfig.from_dict(manifest["config"])
-    if not os.path.exists(paths.tombstones):
+    if not storage.exists(paths.tombstones):
         return manifest
     tomb = np.sort(
         spark.read.parquet(paths.tombstones).toPandas()["docid"].to_numpy(np.int64)
     )
     if tomb.size == 0:
         return manifest
+    tomb_bc = spark.sparkContext.broadcast(tomb)
     block_size = config.block_size
-    n_buckets = config.term_buckets
 
     def rewrite(batches):
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                d, t, l = decode_postings(row["payload"], blocks_from_row(row))
-                keep = ~np.isin(d, tomb)
-                d, t, l = d[keep], t[keep], l[keep]
-                if d.size == 0:
-                    continue
-                payload, blocks = encode_postings(d, t, l, block_size=block_size)
-                out.append(
-                    {
-                        "bucket": int(_crc32_bucket(pd.Series([row["term"]]), n_buckets)[0]),
-                        "shard": row["shard"],
-                        "term": row["term"],
-                        "df": int(d.size),
-                        "cf": int(t.sum()),
-                        "b_first": blocks.first.tolist(),
-                        "b_last": blocks.last.tolist(),
-                        "b_n": blocks.n.tolist(),
-                        "b_max_tf": blocks.max_tf.tolist(),
-                        "b_min_dl": blocks.min_dl.tolist(),
-                        "b_off": blocks.off.tolist(),
-                        "payload": payload,
-                    }
-                )
-            if out:
-                yield pd.DataFrame(out)
+        import pyarrow as pa
+
+        from pylate_spark.functions.codec import decode_postings
+        from pylate_spark.plans.segments import blocks_from_row, encode_group_arrow
+
+        t = tomb_bc.value
+        for rb in batches:
+            pdf = pa.Table.from_batches([rb]).to_pandas()
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].to_numpy(object)
+            cols = {c: pdf[c].to_numpy(object) for c in
+                    ("b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off")}
+            ds, tfs, dls, src, cnt = [], [], [], [], []
+            for i in range(len(pdf)):
+                row = {c: cols[c][i] for c in cols}
+                d, tf, dl = decode_postings(payloads[i], blocks_from_row(row))
+                keep = ~np.isin(d, t)
+                n = int(keep.sum())
+                if n == 0:
+                    continue  # every posting of this run was deleted
+                ds.append(d[keep])
+                tfs.append(tf[keep])
+                dls.append(dl[keep])
+                src.append(i)
+                cnt.append(n)
+            if not ds:
+                continue
+            src_a = np.asarray(src, dtype=np.int64)
+            cnt_a = np.asarray(cnt, dtype=np.int64)
+            # groups stay contiguous: each input row is one complete
+            # (shard, term) run (unique across the table by batch-aligned
+            # docid construction), so concatenation in row order is a
+            # valid group-sorted long frame
+            yield encode_group_arrow(
+                np.repeat(pdf["shard"].to_numpy(np.int64)[src_a], cnt_a),
+                np.repeat(pdf["bucket"].to_numpy(np.int64)[src_a], cnt_a),
+                np.repeat(pdf["term"].to_numpy(object)[src_a], cnt_a),
+                np.concatenate(ds),
+                np.concatenate(tfs),
+                np.concatenate(dls),
+                block_size,
+            )
+
+    from pylate_spark.plans.segments import SEGMENT_SCHEMA
 
     new = (
         spark.read.parquet(paths.segments)
-        .drop("batch", "bucket")
-        .mapInPandas(rewrite, schema=SEGMENT_SCHEMA)
+        .drop("batch")
+        .mapInArrow(rewrite, schema=SEGMENT_SCHEMA)
         .withColumn("batch", F.lit(0))
+        # co-locate buckets into one file each (small-files guard, same
+        # as the build path) — the shuffle moves only compressed runs
+        .repartition("bucket")
+        .sortWithinPartitions("term", "shard")
     )
     tmp = paths.segments + "_tmp"
     new.write.mode("overwrite").partitionBy("batch", "bucket").parquet(tmp)
-    shutil.rmtree(paths.segments)
-    os.replace(tmp, paths.segments)
+    storage.rename(tmp, paths.segments)
 
     # purge staging too, and re-derive per-batch doc stats, so a later
     # re-finalize (e.g. after add_documents) doesn't resurrect deleted
@@ -246,8 +348,7 @@ def compact(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> 
     staged = spark.read.parquet(paths.staging).join(F.broadcast(tomb_df), "docid", "left_anti")
     stg_tmp = paths.staging + "_tmp"
     staged.write.mode("overwrite").partitionBy("batch").parquet(stg_tmp)
-    shutil.rmtree(paths.staging)
-    os.replace(stg_tmp, paths.staging)
+    storage.rename(stg_tmp, paths.staging)
     per_batch = {
         int(r["batch"]): r
         for r in spark.read.parquet(paths.staging)
@@ -264,13 +365,25 @@ def compact(spark: SparkSession, index_dir: str, shards_per_batch: int = 64) -> 
         entry["n_docs"] = int(r["n_docs"]) if r is not None else 0
         entry["n_docs_tokenized"] = int(r["n_docs_tokenized"]) if r is not None else 0
         entry["sum_dl"] = int(r["sum_dl"]) if r is not None else 0
-    shutil.rmtree(paths.tombstones)
+    storage.rmtree(paths.tombstones)
     manifest.setdefault("lineage", []).append(
-        {"stage": "compact", "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-         "n_tombstones_purged": int(tomb.size)}
+        {"stage": "compact", "at": _now(), "n_tombstones_purged": int(tomb.size)}
     )
     save_manifest(paths, manifest)
-    return _finalize(spark, paths, config, manifest)
+    manifest = _finalize(spark, paths, config, manifest)
+    # per-batch n_postings/bytes are stale after the rewrite (postings
+    # moved to batch=0); refresh the manifest-level totals from the
+    # rewritten segments so build metrics stay truthful
+    m = (
+        spark.read.parquet(paths.segments)
+        .agg(F.sum("df").alias("p"), F.sum(F.length("payload")).alias("b"))
+        .collect()[0]
+    )
+    manifest["n_postings"] = int(m["p"] or 0)
+    manifest["bytes"] = int(m["b"] or 0)
+    save_manifest(paths, manifest)
+    tomb_bc.unpersist(blocking=False)
+    return manifest
 
 
 def consolidate_segments(spark: SparkSession, index_dir: str) -> dict:
@@ -296,10 +409,9 @@ def consolidate_segments(spark: SparkSession, index_dir: str) -> dict:
         .partitionBy("batch", "bucket")
         .parquet(tmp)
     )
-    shutil.rmtree(paths.segments)
-    os.replace(tmp, paths.segments)
+    storage.rename(tmp, paths.segments)
     manifest.setdefault("lineage", []).append(
-        {"stage": "consolidate_segments", "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        {"stage": "consolidate_segments", "at": _now()}
     )
     save_manifest(paths, manifest)
     return manifest

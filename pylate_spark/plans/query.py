@@ -22,7 +22,6 @@ Entry points:
 
 from __future__ import annotations
 
-import os
 import zlib
 
 import numpy as np
@@ -37,15 +36,29 @@ from pylate_spark.functions.tokenize import terms_long, tokenize_py, tokenize_ud
 from pylate_spark.plans.build import IndexPaths, load_manifest
 from pylate_spark.plans.wand import score_shard
 
-RESULT_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType(), False),
-        T.StructField("docid", T.LongType(), False),
-        T.StructField("score", T.FloatType(), False),
-    ]
-)
+def _result_schema(round_to: int | None) -> T.StructType:
+    """Kernel output schema: float32 scores by default; float64 when
+    ``round_to`` is set (rounded-double emit for exact cross-engine
+    value-hash comparison — see plans/wand.score_shard)."""
+    score_t = T.DoubleType() if round_to is not None else T.FloatType()
+    return T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("docid", T.LongType(), False),
+            T.StructField("score", score_t, False),
+        ]
+    )
 
-RANKED_SCHEMA = "query_id long, rank int, docid long, score float"
+
+def _ranked_schema(round_to: int | None) -> str:
+    st = "double" if round_to is not None else "float"
+    return f"query_id long, rank int, docid long, score {st}"
+
+#: number of live tombstones past which search() advises compaction —
+#: the broadcast stays cheap, but query-time filtering and stats drift
+#: make a physical rewrite worthwhile (reference analog: the chunk
+#: rewrite in index_updater.py:414-460)
+TOMBSTONE_COMPACT_ADVICE = 1_000_000
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -75,6 +88,22 @@ class InvertedIndex:
         # (the reference reloads its searcher after IndexUpdater runs)
         self._seg = self.spark.read.parquet(self.paths.segments)
         self._df_cache: dict[str, int | None] = {}
+        # tombstones are loaded ONCE per handle and broadcast: they are
+        # re-used by every search/doc_vectors call, and a broadcast ships
+        # them to executors once instead of pickling them into every
+        # task closure (driver→task serialization grows with churn)
+        tomb = self._load_tombstones()
+        self._tomb_bc = (
+            self.spark.sparkContext.broadcast(tomb) if tomb is not None else None
+        )
+        if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
+            import warnings
+
+            warnings.warn(
+                f"index has {tomb.size} tombstones; run "
+                "pylate_spark.plans.maintenance.compact() to rewrite segments",
+                stacklevel=2,
+            )
 
     # -- id resolution (the reference's id<->docid pickles,
     #    fast_plaid.py:136-174) ------------------------------------
@@ -91,8 +120,12 @@ class InvertedIndex:
         ``index.get_documents_embeddings``
         (``/root/reference/pylate/indexes/voyager.py:324-361``).
         Scans only the requested docids' shards; decodes with selective
-        block skipping on the docid ranges."""
-        ids = np.sort(np.asarray(docids, dtype=np.int64))
+        block skipping on the docid ranges. Caller-supplied ids are
+        deduplicated (``np.isin(assume_unique=True)`` below requires
+        it) and tombstoned (deleted) docids are excluded."""
+        ids = np.unique(np.asarray(docids, dtype=np.int64))
+        if self._tomb_bc is not None:
+            ids = ids[~np.isin(ids, self._tomb_bc.value)]
         shards = sorted({int(d) // self.config.shard_size for d in ids})
 
         def gen(batches):
@@ -129,9 +162,11 @@ class InvertedIndex:
         return seg.mapInPandas(gen, schema="docid long, term string, tf int, dl int")
 
     # -- tombstones (delete support, index_updater.py:52-69) --------
-    def _tombstones(self) -> np.ndarray | None:
+    def _load_tombstones(self) -> np.ndarray | None:
+        from pylate_spark import storage
+
         p = self.paths.tombstones
-        if os.path.exists(p):
+        if storage.exists(p):
             pdf = self.spark.read.parquet(p).toPandas()
             if len(pdf):
                 return np.sort(pdf["docid"].to_numpy(dtype=np.int64))
@@ -141,16 +176,21 @@ class InvertedIndex:
         self,
         queries: DataFrame | list[tuple[int, str]],
         k: int = 10,
-        mode: str = "cascade",
+        mode: str = "auto",
         subset: list[int] | np.ndarray | None = None,
+        round_to: int | None = None,
     ) -> DataFrame:
         """Ranked results ``(query_id, rank, docid, score)``.
 
-        ``mode``: ``"cascade"`` (block-max pruning) or ``"exhaustive"``
-        (decode everything — the in-engine correctness oracle, the
-        analog of exact MaxSim rescoring). ``subset`` restricts results
-        to the given docids (the reference's allow-list filter,
-        ``fast_plaid.py:318-340``).
+        ``mode``: ``"auto"`` (per-query strategy selection by (n_terms,
+        k) — the reference's k-banded parameter presets,
+        ``searcher.py:60-83``), ``"cascade"`` (block-max pruning) or
+        ``"exhaustive"`` (decode everything — the in-engine correctness
+        oracle, the analog of exact MaxSim rescoring). ``subset``
+        restricts results to the given docids (the reference's
+        allow-list filter, ``fast_plaid.py:318-340``). ``round_to``
+        emits float64 scores rounded to that many decimals and ranks by
+        the rounded value — the cross-engine determinism contract.
         """
         if isinstance(queries, DataFrame):
             qrows = [(r["query_id"], r["text"]) for r in queries.collect()]
@@ -159,7 +199,7 @@ class InvertedIndex:
         qmap = {int(qid): sorted(set(tokenize_py(text))) for qid, text in qrows}
         all_terms = sorted({t for ts in qmap.values() for t in ts})
         if not all_terms:
-            return self.spark.createDataFrame([], RANKED_SCHEMA)
+            return self.spark.createDataFrame([], _ranked_schema(round_to))
 
         buckets = sorted({zlib.crc32(t.encode()) % self.config.term_buckets for t in all_terms})
         missing = [t for t in all_terms if t not in self._df_cache]
@@ -182,11 +222,11 @@ class InvertedIndex:
         qmap = {qid: [t for t in ts if t in idf] for qid, ts in qmap.items()}
         qmap = {qid: ts for qid, ts in qmap.items() if ts}
         if not qmap:
-            return self.spark.createDataFrame([], RANKED_SCHEMA)
+            return self.spark.createDataFrame([], _ranked_schema(round_to))
 
-        tomb = self._tombstones()
+        tomb_bc = self._tomb_bc
         allowed = np.sort(np.asarray(subset, dtype=np.int64)) if subset is not None else None
-        avgdl, kk, md = self.avgdl, k, mode
+        avgdl, kk, md, rt = self.avgdl, k, mode, round_to
 
         seg = (
             self._seg
@@ -196,10 +236,12 @@ class InvertedIndex:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return score_shard(
-                pdf, qmap, idf, avgdl, kk, params, mode=md, tombstones=tomb, allowed=allowed
+                pdf, qmap, idf, avgdl, kk, params, mode=md,
+                tombstones=tomb_bc.value if tomb_bc is not None else None,
+                allowed=allowed, round_to=rt,
             )
 
-        scored = seg.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
         return _rank_topk(scored, k)
 
 

@@ -37,6 +37,61 @@ from pylate_spark.plans.segments import blocks_from_row
 RESULT_COLUMNS = ["query_id", "docid", "score"]
 
 
+def choose_mode(n_terms: int, k: int) -> str:
+    """Per-query strategy selection — the analog of the reference's
+    k-banded parameter presets (``stanford_nlp/searcher.py:60-83``,
+    which widens ncells/ndocs as k grows and falls back to exact
+    scoring for large k).
+
+    - 1 query term: pruning is impossible (suffix bound is 0 after the
+      only term), so skip the cascade bookkeeping entirely.
+    - large k (>=256): θ (the k-th best partial score) stays low for
+      most of the term list, the OR→AND switch fires late or never, and
+      the cascade degenerates to exhaustive plus overhead.
+    - otherwise: block-max MaxScore cascade.
+    """
+    if n_terms <= 1 or k >= 256:
+        return "exhaustive"
+    return "cascade"
+
+
+def _merge_sorted(
+    acc_d: np.ndarray, acc_s: np.ndarray, docids: np.ndarray, contrib: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge one term's docid-sorted (docids, contrib) run into the
+    sorted accumulator WITHOUT re-sorting (``np.searchsorted`` + masked
+    scatter). This replaces the round-1 per-term ``np.unique`` over the
+    whole concatenation — O((A+B)·log(A+B)) sort per term — with
+    O(A + B·log A), which is what makes the OR phase no slower than the
+    exhaustive scorer even when pruning never fires.
+
+    ``acc_s`` is mutated in place for already-present docids; callers
+    must own it (first merge copies the cached contrib array)."""
+    if acc_d.size == 0:
+        return docids, contrib.astype(np.float64)
+    pos = np.searchsorted(acc_d, docids)
+    hit = np.zeros(docids.size, dtype=bool)
+    inb = pos < acc_d.size
+    hit[inb] = acc_d[pos[inb]] == docids[inb]
+    # docids are unique within a term and acc_d is unique → pos[hit] has
+    # no duplicates, so plain fancy-index += is exact
+    acc_s[pos[hit]] += contrib[hit]
+    if hit.all():
+        return acc_d, acc_s
+    new_d = docids[~hit]
+    new_s = contrib[~hit]
+    ins = np.searchsorted(acc_d, new_d) + np.arange(new_d.size)
+    out_d = np.empty(acc_d.size + new_d.size, dtype=np.int64)
+    out_s = np.empty(out_d.size, dtype=np.float64)
+    keep = np.ones(out_d.size, dtype=bool)
+    keep[ins] = False
+    out_d[ins] = new_d
+    out_s[ins] = new_s
+    out_d[keep] = acc_d
+    out_s[keep] = acc_s
+    return out_d, out_s
+
+
 def _topk(docids: np.ndarray, scores32: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, docid asc) — deterministic tie-break."""
     if docids.size == 0:
@@ -123,13 +178,21 @@ def score_shard(
     avgdl: float,
     k: int,
     params: BM25Params,
-    mode: str = "cascade",
+    mode: str = "auto",
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    round_to: int | None = None,
 ) -> pd.DataFrame:
     """Score all queries against one shard's matched segment rows.
 
-    Returns per-shard top-k rows (query_id, docid, score float32).
+    Returns per-shard top-k rows (query_id, docid, score). The score is
+    float32 by default; with ``round_to`` set it is float64 rounded to
+    that many decimals *before* top-k selection, so boundary ties
+    resolve exactly as an engine ranking by the rounded value (the
+    cross-engine determinism contract of the DuckDB oracles).
+
+    ``mode="auto"`` picks cascade/exhaustive per query via
+    :func:`choose_mode` (the reference's per-k parameter bands).
     """
     st = ShardTerms(pdf, tombstones, allowed)
     have = set(st.terms())
@@ -138,31 +201,40 @@ def score_shard(
         terms = [t for t in qterms if t in have]
         if not terms:
             continue
-        if mode == "exhaustive":
+        qmode = choose_mode(len(terms), k) if mode == "auto" else mode
+        if qmode == "exhaustive":
             docids, scores = _score_exhaustive(st, terms, idf, avgdl, params)
         else:
             docids, scores = _score_cascade(st, terms, idf, avgdl, k, params)
+        # round_to: select top-k on the rounded float64 value (matching
+        # an engine that ranks by the rounded score); default: select on
+        # float32 (the emitted dtype), so boundary ties match the emit
+        if round_to is not None:
+            scores = np.round(scores.astype(np.float64), round_to)
+        else:
+            scores = scores.astype(np.float32)
         d, s = _topk(docids, scores, k)
         out_q.append(np.full(d.size, qid, dtype=np.int64))
         out_d.append(d)
         out_s.append(s)
+    dt = np.float64 if round_to is not None else np.float32
     if not out_q:
-        return _empty_result()
+        return _empty_result(dt)
     return pd.DataFrame(
         {
             "query_id": np.concatenate(out_q),
             "docid": np.concatenate(out_d),
-            "score": np.concatenate(out_s),
+            "score": np.concatenate(out_s).astype(dt),
         }
     )
 
 
-def _empty_result() -> pd.DataFrame:
+def _empty_result(score_dtype=np.float32) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "query_id": pd.Series(dtype=np.int64),
             "docid": pd.Series(dtype=np.int64),
-            "score": pd.Series(dtype=np.float32),
+            "score": pd.Series(dtype=score_dtype),
         }
     )
 
@@ -186,7 +258,7 @@ def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params):
     cat_s = np.concatenate(all_s)
     uniq, inv = np.unique(cat_d, return_inverse=True)
     sums = np.bincount(inv, weights=cat_s)
-    return uniq, sums.astype(np.float32)
+    return uniq, sums  # float64; caller picks the emit dtype
 
 
 def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
@@ -214,10 +286,7 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
                 break
         docids, contrib = st.contrib(t, idf[t], avgdl, params)
         if docids.size:
-            cat_d = np.concatenate([acc_d, docids])
-            cat_s = np.concatenate([acc_s, contrib])
-            acc_d, inv = np.unique(cat_d, return_inverse=True)
-            acc_s = np.bincount(inv, weights=cat_s)
+            acc_d, acc_s = _merge_sorted(acc_d, acc_s, docids, contrib)
     else:
         i = len(terms)  # OR phase consumed everything
 
@@ -237,4 +306,4 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
             contrib = idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
             pos = np.searchsorted(acc_d, docids)
             np.add.at(acc_s, pos, contrib)
-    return acc_d, acc_s.astype(np.float32)
+    return acc_d, acc_s  # float64; caller picks the emit dtype

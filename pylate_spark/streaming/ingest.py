@@ -26,7 +26,7 @@ def stream_index_updates(
     pages_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
-    shards_per_batch: int = 16,
+    shards_per_batch: int | None = None,
     trigger_seconds: int | None = None,
     key_col: str = "url",
     text_col: str = "text",
@@ -35,23 +35,43 @@ def stream_index_updates(
 
     ``pages_stream`` is any streaming DataFrame with (url, text, ...)
     — e.g. ``spark.readStream.schema(PAGES_SCHEMA).parquet(dir)`` or a
-    Kafka source after parsing. Exactly-once: Structured Streaming
-    replays a failed epoch; ``add_documents`` assigns the replayed docs
-    the same batch-aligned docid range and rebuilds only uncommitted
-    batches (manifest skip), so duplicates cannot commit.
+    Kafka source after parsing.
+
+    Exactly-once under epoch replay: the sink is idempotent per
+    ``epoch_id``. Each add records ``"{checkpoint_dir}#{epoch_id}"`` in
+    the manifest's ``applied_epochs`` in the same atomic write that
+    commits the staged rows, so a replayed epoch is skipped; an epoch
+    whose previous attempt crashed mid-staging leaves a ``pending_add``
+    marker and its partial rows are purged before the redo; an attempt
+    that crashed mid-build is completed (``resume_add``) *before* the
+    replay decision, at which point its epoch key is already recorded.
+    ``shards_per_batch`` defaults to the geometry persisted at build
+    time (passing a different value raises).
     """
-    from pylate_spark.plans.maintenance import add_documents
+    from pylate_spark.plans.build import IndexPaths, load_manifest
+    from pylate_spark.plans.maintenance import add_documents, resume_add
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = (
+            batch_df.sparkSession
+            if hasattr(batch_df, "sparkSession")
+            else batch_df.sql_ctx.sparkSession
+        )
+        manifest = load_manifest(IndexPaths(index_dir))
+        if manifest and not manifest.get("finalized"):
+            # finish an interrupted add first: its docs are already
+            # staged+recorded, so the epoch skip below stays correct
+            resume_add(spark, index_dir)
         if batch_df.isEmpty():
             return
         add_documents(
-            batch_df.sparkSession if hasattr(batch_df, "sparkSession") else batch_df.sql_ctx.sparkSession,
+            spark,
             batch_df,
             index_dir,
             shards_per_batch=shards_per_batch,
             key_col=key_col,
             text_col=text_col,
+            epoch_key=f"{checkpoint_dir}#{epoch_id}",
         )
 
     writer = (

@@ -103,7 +103,7 @@ def test_compact_preserves_results(spark, corpus_pdf, index_dir):
     manifest = compact(spark, index_dir)
     assert manifest["finalized"]
     idx = InvertedIndex(spark, index_dir)
-    assert idx._tombstones() is None
+    assert idx._load_tombstones() is None
     after = _ranked(idx.search(QUERIES, k=K))
     assert before == after
 

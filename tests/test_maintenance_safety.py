@@ -1,0 +1,151 @@
+"""Regression tests for the round-2 maintenance-safety fixes:
+
+- batch-geometry persistence (an add with a different shards_per_batch
+  used to allocate colliding batch ids and silently drop the new docs);
+- batch-id allocation past compact-emptied trailing batches;
+- epoch-idempotent adds (exactly-once under Structured Streaming epoch
+  replay, including the crash-between-staging-and-manifest window);
+- the whole index lifecycle on a URI path (``file://``) — no raw
+  POSIX ``os``/``shutil`` calls on index state (object-store safety).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pylate_spark.config import BM25Params, IndexConfig
+from pylate_spark.plans.build import IndexPaths, build_index, load_manifest, save_manifest
+from pylate_spark.plans.maintenance import (
+    _stage_corpus,
+    add_documents,
+    compact,
+    delete_documents,
+    resume_add,
+)
+from pylate_spark.plans.query import InvertedIndex
+from pylate_spark.sources.synth import synth_pages_pandas
+
+CFG = IndexConfig(shard_size=32, block_size=16, term_buckets=8, bm25=BM25Params())
+SPB = 2  # batch span = 64 docids
+
+
+def _build(spark, d, n=64):
+    build_index(spark, spark.createDataFrame(synth_pages_pandas(n)), d, config=CFG,
+                shards_per_batch=SPB)
+    return d
+
+
+def _n_hits(spark, d, text="the"):
+    return InvertedIndex(spark, d).search([(0, text)], k=10_000).count()
+
+
+def test_add_rejects_mismatched_geometry(spark, tmp_path):
+    """The ADVICE repro: build with spb=2, add with spb=8 used to
+    allocate colliding batch ids → new docs silently never indexed.
+    Now: explicit error; omitting the arg reuses the built geometry."""
+    d = _build(spark, str(tmp_path / "idx"))
+    extra = spark.createDataFrame(synth_pages_pandas(16, seed=7))
+    with pytest.raises(ValueError, match="shards_per_batch=2"):
+        add_documents(spark, extra, d, shards_per_batch=8)
+    n_before = _n_hits(spark, d)
+    m = add_documents(spark, extra, d)  # geometry from the manifest
+    assert m["n_docs"] == 64 + 16
+    assert _n_hits(spark, d) > n_before  # new docs actually searchable
+
+
+def test_add_after_compact_emptied_trailing_batch(spark, tmp_path):
+    """Deleting+compacting the whole trailing batch used to let the next
+    add re-derive an already-committed batch id from the shrunken docid
+    range — the build loop then skipped it. Batch ids now allocate past
+    every committed id."""
+    d = _build(spark, str(tmp_path / "idx"), n=128)  # batches 0,1
+    delete_documents(spark, d, list(range(64, 128)))  # all of batch 1
+    compact(spark, d)
+    assert load_manifest(IndexPaths(d))["n_docs"] == 64
+    m = add_documents(spark, spark.createDataFrame(synth_pages_pandas(16, seed=11)), d)
+    assert m["n_docs"] == 64 + 16
+    # the new batch id must be fresh, not a recycled committed one
+    new_ids = [int(k) for k, v in m["batches"].items() if v.get("n_docs") == 16]
+    assert new_ids and min(new_ids) >= 2
+    assert _n_hits(spark, d) >= 64
+
+
+def test_add_epoch_replay_is_noop(spark, tmp_path):
+    d = _build(spark, str(tmp_path / "idx"))
+    extra = spark.createDataFrame(synth_pages_pandas(16, seed=5))
+    m1 = add_documents(spark, extra, d, epoch_key="ckpt#1")
+    assert m1["n_docs"] == 80
+    m2 = add_documents(spark, extra, d, epoch_key="ckpt#1")  # replay
+    assert m2["n_docs"] == 80
+    assert "ckpt#1" in m2["applied_epochs"]
+
+
+def test_add_replay_after_crash_mid_staging(spark, tmp_path):
+    """Simulate the worst replay window: pending_add marker written and
+    rows staged, but the post-staging manifest commit never happened
+    (crash). The replayed epoch must purge the orphan rows and redo the
+    add exactly once."""
+    d = _build(spark, str(tmp_path / "idx"))
+    paths = IndexPaths(d)
+    manifest = load_manifest(paths)
+    # reproduce add_documents' crash state by hand: marker + staged rows
+    manifest["pending_add"] = {"first_new_batch": 1, "docid_base": 64, "epoch_key": "ckpt#9"}
+    save_manifest(paths, manifest)
+    extra_pdf = synth_pages_pandas(16, seed=5)
+    _stage_corpus(spark, spark.createDataFrame(extra_pdf), paths, CFG, SPB,
+                  "url", "text", docid_base=64)
+    # ... crash; Structured Streaming replays the epoch:
+    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#9")
+    assert m["n_docs"] == 64 + 16  # exactly once, no duplicates
+    docmap = spark.read.parquet(paths.docmap)
+    assert docmap.count() == 80  # orphan staged rows purged, one add applied
+    assert docmap.select("docid").distinct().count() == 80
+
+
+def test_add_replay_after_crash_mid_build(spark, tmp_path):
+    """Crash after the staging commit (epoch recorded, batches pending):
+    the sink's discipline is resume_add then the epoch skip."""
+    d = _build(spark, str(tmp_path / "idx"))
+    paths = IndexPaths(d)
+    extra_pdf = synth_pages_pandas(16, seed=5)
+
+    import pylate_spark.plans.maintenance as M
+
+    orig = M._build_one_batch
+
+    def dying(spark_, paths_, config_, batch_, spb_):
+        raise RuntimeError("kill")
+
+    M._build_one_batch = dying
+    try:
+        with pytest.raises(RuntimeError):
+            add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2")
+    finally:
+        M._build_one_batch = orig
+    # replay discipline (what the streaming sink does):
+    m = load_manifest(paths)
+    assert not m.get("finalized")
+    resume_add(spark, d)
+    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2")
+    assert m["n_docs"] == 64 + 16
+    assert m["applied_epochs"].count("ckpt#2") == 1
+
+
+def test_index_lifecycle_on_uri_path(spark, tmp_path):
+    """build → search → delete → compact → add → resume on a file://
+    URI: every driver-side state op must go through the storage layer
+    (raw os.path/shutil would not see this path the same way Spark and
+    PyArrow do, and would break outright on s3://)."""
+    d = f"file://{tmp_path}/uri_idx"
+    _build(spark, d, n=96)
+    idx = InvertedIndex(spark, d)
+    before = idx.search([(0, "the w00004")], k=5).collect()
+    assert len(before) > 0
+    delete_documents(spark, d, [before[0]["docid"]])
+    got = InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect()
+    assert before[0]["docid"] not in {r["docid"] for r in got}
+    compact(spark, d)
+    got2 = InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect()
+    assert [(r["docid"], r["rank"]) for r in got2] == [(r["docid"], r["rank"]) for r in got]
+    m = add_documents(spark, spark.createDataFrame(synth_pages_pandas(8, seed=3)), d)
+    assert m["finalized"] and m["n_docs"] == 96 - 1 + 8
