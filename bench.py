@@ -68,10 +68,18 @@ def main() -> None:
         qset = list(
             zip(*synth_queries_pandas(100).to_dict("list").values())
         )
-        for mode in ("cascade", "exhaustive"):
-            t0 = time.time()
-            n_rows = idx.search(qset, k=10, mode=mode).count()
-            timings[f"query_{mode}_100q"] = round(time.time() - t0, 3)
+        # untimed warm-up: pay the one-time term-stats lookup + Python
+        # worker spin-up once, so the per-mode numbers measure the
+        # steady-state query path, not JVM/Arrow initialization
+        idx.search(qset[:10], k=10).count()
+        for mode in ("cascade", "exhaustive", "auto"):
+            best, n_rows = None, 0
+            for _ in range(2):  # MIN of repeats: the box is noisy (±40%)
+                t0 = time.time()
+                n_rows = idx.search(qset, k=10, mode=mode).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[f"query_{mode}_100q"] = round(best, 3)
             extras[f"qps_{mode}"] = round(100 / timings[f"query_{mode}_100q"], 2)
             extras[f"query_{mode}_rows"] = n_rows
 

@@ -106,26 +106,55 @@ def _topk(docids: np.ndarray, scores32: np.ndarray, k: int) -> tuple[np.ndarray,
     return docids[order], scores32[order]
 
 
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in a SORTED array — O(V·log S)
+    binary search instead of ``np.isin``'s O((V+S)·log(V+S)) sort."""
+    pos = np.searchsorted(sorted_arr, values)
+    mask = np.zeros(values.size, dtype=bool)
+    inb = pos < sorted_arr.size
+    mask[inb] = sorted_arr[pos[inb]] == values[inb]
+    return mask
+
+
 class ShardTerms:
     """Decoded-on-demand view of one shard's matched segment rows."""
 
-    def __init__(self, pdf: pd.DataFrame, tombstones: np.ndarray | None, allowed: np.ndarray | None):
-        self.rows = {r["term"]: r for _, r in pdf.iterrows()}
+    def __init__(
+        self,
+        pdf: pd.DataFrame,
+        tombstones: np.ndarray | None,
+        allowed: np.ndarray | None,
+        batch_queries: int = 1,
+    ):
+        # column-array extraction, not iterrows: building a pandas
+        # Series per row was ~30% of single-shard kernel time
+        cols = ("term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off")
+        arrs = {c: pdf[c].to_numpy(object) for c in cols}
+        terms_arr = arrs["term"]
+        self.rows = {
+            terms_arr[i]: {c: arrs[c][i] for c in cols} for i in range(len(pdf))
+        }
         self.blocks = {t: blocks_from_row(r) for t, r in self.rows.items()}
         self._full: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._probes: dict[str, int] = {}
+        self._ub: dict[str, float] = {}
         self.tombstones = tombstones
         self.allowed = allowed
+        # with many queries in the batch, a term will almost surely be
+        # probed again — decode it fully once and share, instead of
+        # paying repeated selective block decodes (see contrib_at)
+        self.batch_amortized = batch_queries > 8
 
     def terms(self):
         return self.rows.keys()
 
     def _mask(self, docids, tfs, dls):
         if self.tombstones is not None and self.tombstones.size:
-            keep = ~np.isin(docids, self.tombstones, assume_unique=False)
+            keep = ~_in_sorted(docids, self.tombstones)
             docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
         if self.allowed is not None:
-            keep = np.isin(docids, self.allowed)
+            keep = _in_sorted(docids, self.allowed)
             docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
         return docids, tfs, dls
 
@@ -149,26 +178,48 @@ class ShardTerms:
             )
         return self._contrib[term]
 
-    def at_candidates(self, term: str, cand: np.ndarray):
-        """Decode only blocks whose docid range intersects ``cand``;
-        return postings restricted to candidate docids."""
-        if term in self._full:
-            docids, tfs, dls = self._full[term]
-        else:
-            b = self.blocks[term]
-            lo = np.searchsorted(cand, b.first, side="left")
-            hi = np.searchsorted(cand, b.last, side="right")
-            need = np.flatnonzero(hi > lo)
-            self.blocks_skipped = getattr(self, "blocks_skipped", 0) + (b.first.size - need.size)
-            docids, tfs, dls = decode_postings(self.rows[term]["payload"], self.blocks[term], select=need)
-            docids, tfs, dls = self._mask(docids, tfs, dls)
-        keep = np.isin(docids, cand, assume_unique=True)
-        return docids[keep], tfs[keep], dls[keep]
+    def contrib_at(self, term: str, cand: np.ndarray, idf_t: float, avgdl: float, params):
+        """(docids, contributions) restricted to candidate docids.
+
+        Batch amortization: the first probe of a term decodes only the
+        blocks whose docid range intersects ``cand`` (the single-query
+        block-skip win); a term probed a *second* time in the same
+        batch — or one already fully scored for another query's OR
+        phase — reuses the full cached contributions (no decode, no
+        tfn). With many queries per scatter, repeated partial decodes
+        of the same head term would otherwise dominate the AND phase
+        (measured: ~2× kernel time without this)."""
+        probes = self._probes.get(term, 0)
+        self._probes[term] = probes + 1
+        if self.batch_amortized or term in self._contrib or term in self._full or probes >= 1:
+            d_full, c_full = self.contrib(term, idf_t, avgdl, params)
+            keep = _in_sorted(d_full, cand)
+            return d_full[keep], c_full[keep]
+        b = self.blocks[term]
+        lo = np.searchsorted(cand, b.first, side="left")
+        hi = np.searchsorted(cand, b.last, side="right")
+        need = np.flatnonzero(hi > lo)
+        self.blocks_skipped = getattr(self, "blocks_skipped", 0) + (b.first.size - need.size)
+        docids, tfs, dls = decode_postings(self.rows[term]["payload"], self.blocks[term], select=need)
+        docids, tfs, dls = self._mask(docids, tfs, dls)
+        keep = _in_sorted(docids, cand)
+        docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+        return docids, idf_t * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
 
     def shard_ub_inputs(self, term: str) -> tuple[int, int]:
         """(max_tf, min_dl) over this shard's blocks — upper-bound inputs."""
         b = self.blocks[term]
         return int(b.max_tf.max()), int(b.min_dl.min())
+
+    def upper_bound(self, term: str, idf_t: float, avgdl: float, params) -> float:
+        """Shard-local true score upper bound for a term — cached, it is
+        query-independent (idf is global, block stats are per shard)."""
+        ub = self._ub.get(term)
+        if ub is None:
+            max_tf, min_dl = self.shard_ub_inputs(term)
+            ub = idf_t * float(tfn_np(float(max_tf), float(min_dl), avgdl, params))
+            self._ub[term] = ub
+        return ub
 
 
 def score_shard(
@@ -194,7 +245,7 @@ def score_shard(
     ``mode="auto"`` picks cascade/exhaustive per query via
     :func:`choose_mode` (the reference's per-k parameter bands).
     """
-    st = ShardTerms(pdf, tombstones, allowed)
+    st = ShardTerms(pdf, tombstones, allowed, batch_queries=len(queries))
     have = set(st.terms())
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries.items():
@@ -265,11 +316,8 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
     """Block-max MaxScore (see module docstring for the soundness
     argument). Falls back to exhaustive behavior when the accumulator
     never reaches k docs (then the OR phase simply runs to the end)."""
-    # shard-local true upper bounds per term
-    ubs = []
-    for t in terms:
-        max_tf, min_dl = st.shard_ub_inputs(t)
-        ubs.append(idf[t] * float(tfn_np(float(max_tf), float(min_dl), avgdl, params)))
+    # shard-local true upper bounds per term (cached across the batch)
+    ubs = [st.upper_bound(t, idf[t], avgdl, params) for t in terms]
     order = np.argsort(-np.asarray(ubs), kind="stable")
     terms = [terms[i] for i in order]
     ubs = [ubs[i] for i in order]
@@ -301,9 +349,8 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
             theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
             keep = acc_s + suffix[j] >= theta
             acc_d, acc_s = acc_d[keep], acc_s[keep]
-        docids, tfs, dls = st.at_candidates(t, acc_d)
+        docids, contrib = st.contrib_at(t, acc_d, idf[t], avgdl, params)
         if docids.size:
-            contrib = idf[t] * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params)
             pos = np.searchsorted(acc_d, docids)
             np.add.at(acc_s, pos, contrib)
     return acc_d, acc_s  # float64; caller picks the emit dtype
