@@ -100,6 +100,28 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
+
+        # --- ANN accuracy/probe trade (measured recall, the reference's
+        # n_ivf_probe knob) on clustered synthetic embeddings -----------
+        from pyspark.sql import functions as F
+
+        from pylate_spark.operators.similarity import cosine_topk, ivf_topk, recall_at_k
+        from pylate_spark.sources.synth import synth_embeddings
+
+        emb = synth_embeddings(spark, 2000).cache()
+        qs = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = cosine_topk(emb, qs, k=10).cache()
+        exact.count()
+        for probe in (1, 22):
+            rows = recall_at_k(
+                exact, ivf_topk(emb, qs, k=10, n_planes=6, n_probe=probe), k=10
+            ).collect()
+            extras[f"ann_recall_at10_probe{probe}"] = round(
+                sum(r["recall"] for r in rows) / len(rows), 3
+            )
+        emb.unpersist()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -150,12 +150,15 @@ def _indexed(spark: SparkSession, sf_dir: str) -> str:
 
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real engine path (build index → block-max cascade search) over
-    the documents table. Driver-checked rows-only (float32 emit makes
-    SQL hash comparison brittle); pytest asserts rank-equality with the
-    scan path."""
+    the documents table, emitting rounded float64 scores ranked by the
+    rounded value — so the whole indexed pipeline (SPIMI build → codec →
+    pruning kernel → top-k merge) is value-hash-checked against the same
+    DuckDB oracle as the scan path."""
     from pylate_spark.plans.query import InvertedIndex
 
-    return InvertedIndex(spark, _indexed(spark, sf_dir)).search(QUERYSET, k=K, mode="cascade")
+    return InvertedIndex(spark, _indexed(spark, sf_dir)).search(
+        QUERYSET, k=K, mode="auto", round_to=4
+    )
 
 
 def q_term_stats_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,12 +450,48 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.ivf_topk(emb, queries, k=K, n_planes=6, dim=64)
+    return similarity.ivf_topk(emb, queries, k=K, n_planes=6, dim=64, n_probe=7)
+
+
+NEAR_DUP_MIN_COS = 0.35  # testdata embeddings are near-orthogonal
+                         # (max pairwise cos ≈ 0.51); this threshold
+                         # makes the operator provably non-vacuous at
+                         # every test scale
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs over embeddings — rows-only (approximate)."""
-    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cos=0.9, n_planes=8, dim=64)
+    """LSH near-dup pairs over embeddings. Fully oracle-checked: the
+    hyperplanes are deterministic (seeded Philox), so the DuckDB oracle
+    inlines them as literals and replicates the bucketing exactly —
+    the check covers the LSH itself, not just the cosine filter."""
+    return similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), min_cos=NEAR_DUP_MIN_COS, n_planes=8, dim=64
+    )
+
+
+def _near_dup_sql(min_cos: float = NEAR_DUP_MIN_COS, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Exact DuckDB replica of :func:`similarity.embedding_near_dup_pairs`:
+    same seeded hyperplanes (inlined as double literals — Python float
+    repr round-trips exactly), same sign-bit bucketing, same rounded
+    cosine filter."""
+    from pylate_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv, ({bucket}) AS bucket FROM e
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(list_inner_product(a.v, c.v) / (a.nv * c.nv), 4) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_inner_product(a.v, c.v) / (a.nv * c.nv), 4) >= {min_cos}
+"""
 
 
 # --------------------------------------------------------- text stats -----
@@ -614,7 +653,7 @@ def catalog() -> dict[str, tuple]:
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "bm25_subset": (q_bm25_subset, _bm25_sql(extra_where="tf.doc_id % 3 = 0")),
         "bm25_conjunctive": (q_bm25_conjunctive, _bm25_conjunctive_sql()),
-        "bm25_topk_indexed": (q_bm25_topk_indexed, None),
+        "bm25_topk_indexed": (q_bm25_topk_indexed, _bm25_sql()),
         "term_stats_indexed": (q_term_stats_indexed, SQL_TERM_DF_TOP100),
         "doc_vectors_indexed": (q_doc_vectors_indexed, SQL_DOC_VECTORS),
         "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
@@ -628,7 +667,7 @@ def catalog() -> dict[str, tuple]:
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, None),
-        "embedding_near_dups": (q_embedding_near_dups, None),
+        "embedding_near_dups": (q_embedding_near_dups, _near_dup_sql()),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "quality_features": (q_quality, SQL_QUALITY),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),

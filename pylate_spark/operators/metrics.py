@@ -43,14 +43,19 @@ def ndcg_at_k(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         ideal.join(dcg, "query_id", "left")
         .select(
             "query_id",
-            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6).alias("ndcg"),
+            # idcg = 0 (a query whose qrels are all relevance 0) is
+            # defined as ndcg 0, not null/NaN — ranx's convention
+            F.when(F.col("idcg") > 0,
+                   F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
         )
     )
 
 
-def hits_at_k(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
-    """Per-query hits@k: fraction of relevant docs found in the top k
-    (the reference's ``hits@1..10`` family)."""
+def _found_at_k(results: DataFrame, qrels: DataFrame, k: int):
+    """(per-query relevant count, per-query relevant-found-in-top-k
+    count) — shared by hits@k and recall@k."""
     rel = qrels.where(F.col("relevance") > 0)
     n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
     found = (
@@ -59,10 +64,26 @@ def hits_at_k(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_found"))
     )
-    return (
-        n_rel.join(found, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_rel"), 6).alias("hits"),
-        )
+    return n_rel, found
+
+
+def hits_at_k(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query hits@k: the NUMBER of relevant docs retrieved in the
+    top k — ranx's hits@k, the reference's ``hits@1..10`` family
+    (``/root/reference/pylate/evaluation/beir.py:186-207``). For the
+    fraction, use :func:`recall_at_k`."""
+    n_rel, found = _found_at_k(results, qrels, k)
+    return n_rel.join(found, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias("hits"),
+    )
+
+
+def recall_at_k(results: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k: fraction of the query's relevant docs
+    retrieved in the top k."""
+    n_rel, found = _found_at_k(results, qrels, k)
+    return n_rel.join(found, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_rel"), 6).alias("recall"),
     )

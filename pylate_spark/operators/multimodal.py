@@ -86,25 +86,41 @@ def image_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: F401
-
-            decoder = "pillow"
+            from PIL import Image
         except ImportError:
+            Image = None
             if require_real_decode:
                 raise NotImplementedError(
                     "real image decode requires Pillow; not available in this environment"
                 )
-            decoder = "stub-histogram"
+
+        def featurize(payload: bytes) -> tuple[str, list[float]]:
+            """The ``decoder`` label reports what actually produced the
+            features: 'pillow' ONLY for a successful real decode,
+            'stub-histogram' for the deterministic fallback."""
+            if Image is not None:
+                try:
+                    import io
+
+                    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+                    px = np.asarray(img, dtype=np.float32).ravel()
+                    total = float(px.sum())
+                    return "pillow", (px / total if total else px).tolist()
+                except Exception:
+                    if require_real_decode:
+                        raise
+            return "stub-histogram", _fake_features(payload).tolist()
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [_fake_features(p).tolist() for p in pdf[bin_col]]
+            out = [featurize(p) for p in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pdf[bin_col].str.len().astype("int64"),
-                    "decoder": decoder,
-                    "features": feats,
+                    "decoder": [d for d, _ in out],
+                    "features": [f for _, f in out],
                 }
             )
 

@@ -110,11 +110,21 @@ def ivf_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: equi-join on LSH bucket, exact cosine
-    within the probed bucket. The bucket column is computable at write
+    within the probed buckets. The bucket column is computable at write
     time and persisted as a partition column at scale, making the probe
-    a partition-pruned scan instead of a full-corpus pass."""
+    a partition-pruned scan instead of a full-corpus pass.
+
+    ``n_probe`` is the recall knob — the analog of the reference's
+    ``n_ivf_probe`` (``pylate/indexes/stanford_nlp/plaid.py:126-132``):
+    each query probes its own bucket plus the nearest neighboring
+    buckets (Hamming distance 1 = one hyperplane sign flipped, then 2,
+    ...) until ``n_probe`` buckets are covered. ``n_probe=1`` probes
+    only the query's bucket; ``n_probe=n_planes+1`` covers all single
+    flips, etc. More probes → higher recall, more scanned partitions.
+    """
     planes = _hyperplanes(dim, n_planes, seed=seed)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -128,6 +138,14 @@ def ivf_topk(
         _norm(F.col(qvec_col)).alias("nq"),
         bucket_col(F.col(qvec_col), planes).alias("bucket"),
     )
+    if n_probe > 1:
+        # XOR masks in increasing Hamming weight: 0, then single-bit
+        # flips, then double-bit flips ... truncated at n_probe buckets
+        masks = sorted(range(1 << n_planes), key=lambda m: (bin(m).count("1"), m))[:n_probe]
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     scored = (
         e.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("qid"))
@@ -142,6 +160,26 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cos_sim")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one (both in (qid, rank, vec_id, ...) shape) — the measured
+    accuracy/probe trade the reference exposes via ``n_ivf_probe`` and
+    BEIR metrics (``plaid.py:40-64``, ``evaluation/beir.py:143-207``).
+    Returns (qid, recall double)."""
+    e = exact.where(F.col("rank") <= k).select("qid", "vec_id")
+    a = approx.where(F.col("rank") <= k).select("qid", "vec_id")
+    hits = (
+        e.join(a, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = e.groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+    return tot.join(hits, "qid", "left").select(
+        "qid",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n")).alias("recall"),
     )
 
 

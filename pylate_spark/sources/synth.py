@@ -168,6 +168,40 @@ def synth_queries_pandas(n_queries: int = 100, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame({"query_id": np.arange(len(texts), dtype=np.int64), "text": texts})
 
 
+def synth_embeddings_pandas(
+    n: int = 2000, dim: int = 64, n_clusters: int = 40, noise: float = 0.30, seed: int = 123
+) -> pd.DataFrame:
+    """Deterministic *clustered* embeddings (vec_id, embedding) — the
+    workload shape real text embeddings have (neighbors at high cosine),
+    unlike the near-orthogonal testdata vectors. Used to measure the
+    ANN accuracy/probe trade (LSH recall is a property of data geometry;
+    it needs clustered data to be meaningful)."""
+    rng = np.random.Generator(np.random.Philox(key=seed, counter=0))
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.integers(0, n_clusters, n)
+    v = centers[cl] + noise * rng.normal(size=(n, dim)) / np.sqrt(dim)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in v],
+        }
+    )
+
+
+def synth_embeddings(spark: SparkSession, n: int = 2000, **kw) -> DataFrame:
+    pdf = synth_embeddings_pandas(n, **kw)
+    return spark.createDataFrame(
+        pdf,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            ]
+        ),
+    )
+
+
 def synth_queries(spark: SparkSession, n_queries: int = 100, seed: int = 42) -> DataFrame:
     pdf = synth_queries_pandas(n_queries=n_queries, seed=seed)
     return spark.createDataFrame(

@@ -8,7 +8,7 @@ import math
 import pandas as pd
 import pytest
 
-from pylate_spark.operators.metrics import hits_at_k, ndcg_at_k
+from pylate_spark.operators.metrics import hits_at_k, ndcg_at_k, recall_at_k
 
 
 @pytest.fixture(scope="module")
@@ -47,10 +47,30 @@ def test_ndcg_golden(eval_frames):
 
 
 def test_hits_golden(eval_frames):
+    """hits@k is ranx's COUNT of relevant retrieved, not the fraction."""
     results, qrels = eval_frames
     got = {r["query_id"]: r["hits"] for r in hits_at_k(results, qrels, k=3).collect()}
-    assert got[0] == pytest.approx(0.5)  # 1 of 2 relevant found
+    assert got[0] == 1  # 1 of 2 relevant found
+    assert got[1] == 2
+
+
+def test_recall_golden(eval_frames):
+    results, qrels = eval_frames
+    got = {r["query_id"]: r["recall"] for r in recall_at_k(results, qrels, k=3).collect()}
+    assert got[0] == pytest.approx(0.5)
     assert got[1] == pytest.approx(1.0)
+
+
+def test_ndcg_zero_idcg_is_zero(spark):
+    """A query whose qrels are all relevance=0 gets ndcg 0, not null."""
+    results = spark.createDataFrame(
+        pd.DataFrame({"query_id": [5], "rank": [1], "docid": [1], "score": [1.0]})
+    )
+    qrels = spark.createDataFrame(
+        pd.DataFrame({"query_id": [5, 5], "docid": [1, 2], "relevance": [0, 0]})
+    )
+    rows = ndcg_at_k(results, qrels, k=3).collect()
+    assert len(rows) == 1 and rows[0]["ndcg"] == 0.0
 
 
 def test_consolidate_segments(spark, tmp_path):
