@@ -578,6 +578,75 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+# ------------------------------------------------------- evaluation -------
+
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality evaluation through the REAL engine path:
+    build index → auto-mode search → distributed nDCG@10 against
+    deterministic term-overlap qrels — the reference's BEIR evaluate
+    pipeline (``evaluation/beir.py:143-207``) made oracle-checkable."""
+    from pylate_spark.evaluation import term_overlap_qrels
+    from pylate_spark.operators.metrics import ndcg_at_k
+    from pylate_spark.plans.query import InvertedIndex
+
+    results = InvertedIndex(spark, _indexed(spark, sf_dir)).search(
+        QUERYSET, k=K, mode="auto", round_to=4
+    )
+    qrels = term_overlap_qrels(_docs(spark, sf_dir), _queryset_df(spark), max_docid=500)
+    return ndcg_at_k(results, qrels, k=K)
+
+
+def _eval_ndcg_sql() -> str:
+    return f"""{_BM25_CTES},
+scored AS (
+  SELECT qt.query_id, tf.doc_id AS docid,
+         sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score_raw
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, docid,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score_raw, 4) DESC, docid ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+),
+qrels AS (
+  SELECT qt.query_id, tf.doc_id AS docid,
+         CAST(count(DISTINCT qt.term) AS BIGINT) AS relevance
+  FROM qt JOIN tf USING (term) WHERE tf.doc_id < 500
+  GROUP BY qt.query_id, tf.doc_id
+),
+dcg AS (
+  SELECT r.query_id,
+         sum((pow(2.0, q.relevance) - 1) / log2(r.rank + 1)) AS dcg
+  FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.docid = q.docid
+  WHERE r.rank <= {K} GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, sum(igain) AS idcg FROM (
+    SELECT query_id, (pow(2.0, relevance) - 1) / log2(irank + 1) AS igain
+    FROM (
+      SELECT query_id, relevance, docid,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY relevance DESC, docid ASC) AS irank
+      FROM qrels
+    ) WHERE irank <= {K}
+  ) GROUP BY query_id
+)
+SELECT i.query_id,
+       CASE WHEN i.idcg > 0 THEN round(coalesce(d.dcg, 0.0) / i.idcg, 6)
+            ELSE 0.0 END AS ndcg
+FROM ideal i LEFT JOIN dcg d USING (query_id)
+"""
+
+
 # ------------------------------------------------------ generic / events --
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,6 +737,7 @@ def catalog() -> dict[str, tuple]:
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, None),
         "embedding_near_dups": (q_embedding_near_dups, _near_dup_sql()),
+        "eval_ndcg": (q_eval_ndcg, _eval_ndcg_sql()),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "quality_features": (q_quality, SQL_QUALITY),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -35,25 +35,36 @@ __all__ = ["encode_postings", "decode_postings", "decode_docids", "PostingBlocks
 
 # --- vectorized varint ----------------------------------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int64 array, fully vectorized."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a non-negative int array, fully vectorized.
+
+    Returns ``(bytes_uint8, per_value_byte_offsets[n+1])`` — the single
+    shared encoder core; the offsets let callers slice the stream at
+    value boundaries (block offsets, per-group payload spans) without
+    re-walking it. The loops below are over *byte positions* (≤10), not
+    values.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    offs = np.zeros(v.size + 1, dtype=np.int64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), offs
     # bytes needed per value: 1 + floor(bit_length / 7) for bit_length>0
     nb = np.ones(v.shape, dtype=np.int64)
     for shift in range(7, 64, 7):
         nb += (v >> np.uint64(shift)) > 0
-    offs = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nb, out=offs[1:])
     out = np.zeros(offs[-1], dtype=np.uint8)
-    max_nb = int(nb.max())
-    for k in range(max_nb):
+    for k in range(int(nb.max())):
         mask = nb > k
         chunk = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
         cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
         out[offs[:-1][mask] + k] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, offs
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64 array, fully vectorized."""
+    return varint_encode_offsets(values)[0].tobytes()
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -130,18 +141,7 @@ def encode_postings(
 
     # encode whole stream at once; compute per-block byte offsets from
     # per-value byte lengths so blocks stay independently sliceable
-    v = interleaved.astype(np.uint64)
-    nb = np.ones(v.shape, dtype=np.int64)
-    for shift in range(7, 64, 7):
-        nb += (v >> np.uint64(shift)) > 0
-    val_offs = np.zeros(v.size + 1, dtype=np.int64)
-    np.cumsum(nb, out=val_offs[1:])
-    payload = np.zeros(val_offs[-1], dtype=np.uint8)
-    for k in range(int(nb.max())):
-        mask = nb > k
-        chunk = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
-        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
-        payload[val_offs[:-1][mask] + k] = chunk.astype(np.uint8) | cont
+    payload, val_offs = varint_encode_offsets(interleaved)
 
     blk_off = val_offs[3 * bstart]
     # per-block aggregates via reduceat (vectorized segmented max/min)

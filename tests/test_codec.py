@@ -16,7 +16,7 @@ from pylate_spark.functions.codec import (
     varint_decode,
     varint_encode,
 )
-from pylate_spark.plans.segments import encode_group_frame, blocks_from_row
+from pylate_spark.plans.segments import encode_group_arrow, blocks_from_row
 
 
 def test_varint_golden():
@@ -70,9 +70,11 @@ def test_selective_block_decode():
     np.testing.assert_array_equal(l, dls[expect])
 
 
-def test_encode_group_frame_matches_single_term_codec():
-    """Multi-term vectorized encoder must emit exactly what the
-    single-term codec emits per (shard, term)."""
+def test_encode_group_arrow_matches_single_term_codec():
+    """The production multi-group Arrow encoder must emit exactly what
+    the single-term codec emits per (shard, term)."""
+    import zlib
+
     rng = np.random.Generator(np.random.Philox(key=9, counter=0))
     frames = []
     expected = {}
@@ -88,7 +90,16 @@ def test_encode_group_frame_matches_single_term_codec():
             )
             expected[(shard, term)] = (docids.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64))
     pdf = pd.concat(frames).sort_values(["shard", "term", "docid"]).reset_index(drop=True)
-    out = encode_group_frame(pdf, block_size=64, n_buckets=8)
+    buckets = np.array([zlib.crc32(t.encode()) % 8 for t in pdf["term"]], dtype=np.int64)
+    out = encode_group_arrow(
+        pdf["shard"].to_numpy(np.int64),
+        buckets,
+        pdf["term"].to_numpy(object),
+        pdf["docid"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64),
+        64,
+    ).to_pandas()
     assert len(out) == 6
     for _, row in out.iterrows():
         docids, tfs, dls = expected[(row["shard"], row["term"])]

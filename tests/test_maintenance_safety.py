@@ -149,3 +149,31 @@ def test_index_lifecycle_on_uri_path(spark, tmp_path):
     assert [(r["docid"], r["rank"]) for r in got2] == [(r["docid"], r["rank"]) for r in got]
     m = add_documents(spark, spark.createDataFrame(synth_pages_pandas(8, seed=3)), d)
     assert m["finalized"] and m["n_docs"] == 96 - 1 + 8
+
+
+def test_large_tombstone_set_broadcast_and_rank_identity(spark, tmp_path):
+    """100k+ tombstones: shipped to executors once as a broadcast (not
+    pickled into every task closure) and filtered in the kernel without
+    changing ranks of surviving docs. The bulk of the ids reference
+    docids outside the corpus (the cheap way to size-test the mechanism
+    without a 100k-doc build); a handful are real deletes."""
+    import numpy as np
+    import pandas as pd
+
+    d = _build(spark, str(tmp_path / "idx"), n=256)
+    real = [3, 64, 130]
+    delete_documents(spark, d, real)
+    want = InvertedIndex(spark, d).search([(0, "the w00004")], k=20).collect()
+
+    # append 150k never-matching tombstones directly (docids >= corpus)
+    big = pd.DataFrame({"docid": np.arange(1_000_000, 1_150_000, dtype=np.int64)})
+    spark.createDataFrame(big).write.mode("append").parquet(
+        IndexPaths(d).tombstones
+    )
+    idx = InvertedIndex(spark, d)
+    assert idx._tomb_bc is not None and idx._tomb_bc.value.size == 150_000 + len(real)
+    got = idx.search([(0, "the w00004")], k=20).collect()
+    assert [(r["rank"], r["docid"], r["score"]) for r in got] == [
+        (r["rank"], r["docid"], r["score"]) for r in want
+    ]
+    assert not {r["docid"] for r in got} & set(real)
