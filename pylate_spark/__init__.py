@@ -26,8 +26,11 @@ Package layout:
 - :mod:`pylate_spark.operators` — docids, stats, top-k, dedup,
   similarity, text analysis, multimodal plumbing
 - :mod:`pylate_spark.plans`     — index build / query planning / WAND kernel
-- :mod:`pylate_spark.streaming` — incremental ingest
-- :mod:`pylate_spark.oracle`    — pure-python reference implementation
+- :mod:`pylate_spark.streaming`  — incremental ingest
+- :mod:`pylate_spark.storage`    — object-store-safe index-state access
+  (pyarrow.fs: index dirs may be file://, hdfs://, s3:// URIs)
+- :mod:`pylate_spark.evaluation` — build → search → metrics wiring
+- :mod:`pylate_spark.oracle`     — pure-python reference implementation
 """
 
 from pylate_spark.config import BM25Params, IndexConfig

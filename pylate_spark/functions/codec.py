@@ -78,7 +78,11 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
-    low = (b & 0x7F).astype(np.int64)
+    # keep the per-byte intermediates at 1 byte each — materializing
+    # them as int64 was 8× the payload in memory traffic, and the
+    # decode is bandwidth-bound; widen to int64 only at the per-value
+    # gather (which is 1-2 bytes/value in practice)
+    low = b & 0x7F
     ends = (b & 0x80) == 0
     end_pos = np.flatnonzero(ends)
     n = end_pos.size
@@ -86,10 +90,10 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     starts[0] = 0
     starts[1:] = end_pos[:-1] + 1
     lens = end_pos - starts + 1
-    vals = low[starts].copy()
+    vals = low[starts].astype(np.int64)
     for j in range(1, int(lens.max())):
         mask = lens > j
-        vals[mask] |= low[starts[mask] + j] << (7 * j)
+        vals[mask] |= low[starts[mask] + j].astype(np.int64) << (7 * j)
     return vals
 
 

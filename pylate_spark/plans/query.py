@@ -227,6 +227,7 @@ class InvertedIndex:
         tomb_bc = self._tomb_bc
         allowed = np.sort(np.asarray(subset, dtype=np.int64)) if subset is not None else None
         avgdl, kk, md, rt = self.avgdl, k, mode, round_to
+        ssz = self.config.shard_size  # dense-accumulator extent per kernel
 
         seg = (
             self._seg
@@ -238,7 +239,7 @@ class InvertedIndex:
             return score_shard(
                 pdf, qmap, idf, avgdl, kk, params, mode=md,
                 tombstones=tomb_bc.value if tomb_bc is not None else None,
-                allowed=allowed, round_to=rt,
+                allowed=allowed, round_to=rt, shard_size=ssz,
             )
 
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))

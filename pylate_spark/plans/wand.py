@@ -55,43 +55,6 @@ def choose_mode(n_terms: int, k: int) -> str:
     return "cascade"
 
 
-def _merge_sorted(
-    acc_d: np.ndarray, acc_s: np.ndarray, docids: np.ndarray, contrib: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Merge one term's docid-sorted (docids, contrib) run into the
-    sorted accumulator WITHOUT re-sorting (``np.searchsorted`` + masked
-    scatter). This replaces the round-1 per-term ``np.unique`` over the
-    whole concatenation — O((A+B)·log(A+B)) sort per term — with
-    O(A + B·log A), which is what makes the OR phase no slower than the
-    exhaustive scorer even when pruning never fires.
-
-    ``acc_s`` is mutated in place for already-present docids; callers
-    must own it (first merge copies the cached contrib array)."""
-    if acc_d.size == 0:
-        return docids, contrib.astype(np.float64)
-    pos = np.searchsorted(acc_d, docids)
-    hit = np.zeros(docids.size, dtype=bool)
-    inb = pos < acc_d.size
-    hit[inb] = acc_d[pos[inb]] == docids[inb]
-    # docids are unique within a term and acc_d is unique → pos[hit] has
-    # no duplicates, so plain fancy-index += is exact
-    acc_s[pos[hit]] += contrib[hit]
-    if hit.all():
-        return acc_d, acc_s
-    new_d = docids[~hit]
-    new_s = contrib[~hit]
-    ins = np.searchsorted(acc_d, new_d) + np.arange(new_d.size)
-    out_d = np.empty(acc_d.size + new_d.size, dtype=np.int64)
-    out_s = np.empty(out_d.size, dtype=np.float64)
-    keep = np.ones(out_d.size, dtype=bool)
-    keep[ins] = False
-    out_d[ins] = new_d
-    out_s[ins] = new_s
-    out_d[keep] = acc_d
-    out_s[keep] = acc_s
-    return out_d, out_s
-
-
 def _topk(docids: np.ndarray, scores32: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, docid asc) — deterministic tie-break."""
     if docids.size == 0:
@@ -125,7 +88,12 @@ class ShardTerms:
         tombstones: np.ndarray | None,
         allowed: np.ndarray | None,
         batch_queries: int = 1,
+        base: int = 0,
     ):
+        #: first docid of this shard — offsets into the dense score
+        #: buffer are ``docid - base`` (always < shard_size by the
+        #: doc-range sharding construction)
+        self.base = base
         # column-array extraction, not iterrows: building a pandas
         # Series per row was ~30% of single-shard kernel time
         cols = ("term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off")
@@ -174,9 +142,21 @@ class ShardTerms:
             docids, tfs, dls = self.full(term)
             self._contrib[term] = (
                 docids,
+                # int32 offsets: < shard_size by construction; halves
+                # the gather-index traffic in the dense accumulator
+                (docids - self.base).astype(np.int32),
                 idf * tfn_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl, params),
             )
-        return self._contrib[term]
+        d, _, c = self._contrib[term]
+        return d, c
+
+    def contrib_off(self, term: str, idf: float, avgdl: float, params) -> tuple[np.ndarray, np.ndarray]:
+        """(shard-local offsets, contributions) — the dense-buffer view
+        of :meth:`contrib` (offsets cached alongside)."""
+        if term not in self._contrib:
+            self.contrib(term, idf, avgdl, params)
+        _, off, c = self._contrib[term]
+        return off, c
 
     def contrib_at(self, term: str, cand: np.ndarray, idf_t: float, avgdl: float, params):
         """(docids, contributions) restricted to candidate docids.
@@ -233,6 +213,7 @@ def score_shard(
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     round_to: int | None = None,
+    shard_size: int | None = None,
 ) -> pd.DataFrame:
     """Score all queries against one shard's matched segment rows.
 
@@ -244,9 +225,28 @@ def score_shard(
 
     ``mode="auto"`` picks cascade/exhaustive per query via
     :func:`choose_mode` (the reference's per-k parameter bands).
+
+    ``shard_size`` enables the dense accumulator: doc-range sharding
+    guarantees every docid in this group lies in
+    ``[shard·shard_size, (shard+1)·shard_size)``, so scores accumulate
+    into one reusable float64 buffer of ``shard_size`` slots (fits in
+    cache for typical shard sizes) — no per-query sort/unique over
+    posting runs, which dominated kernel time and memory bandwidth.
     """
-    st = ShardTerms(pdf, tombstones, allowed, batch_queries=len(queries))
+    if len(pdf) == 0:
+        return _empty_result(np.float64 if round_to is not None else np.float32)
+    if shard_size is None:
+        # direct-call fallback (tests/microbenches): derive the docid
+        # range from the block metadata instead of the index config
+        lo = min(int(np.asarray(r).min()) for r in pdf["b_first"] if len(r))
+        hi = max(int(np.asarray(r).max()) for r in pdf["b_last"] if len(r))
+        base, shard_size = lo, hi - lo + 1
+    else:
+        base = int(pdf["shard"].iloc[0]) * shard_size
+    st = ShardTerms(pdf, tombstones, allowed, batch_queries=len(queries), base=base)
     have = set(st.terms())
+    buf = np.zeros(shard_size, dtype=np.float64)
+    seen = np.zeros(shard_size, dtype=bool)
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries.items():
         terms = [t for t in qterms if t in have]
@@ -254,9 +254,9 @@ def score_shard(
             continue
         qmode = choose_mode(len(terms), k) if mode == "auto" else mode
         if qmode == "exhaustive":
-            docids, scores = _score_exhaustive(st, terms, idf, avgdl, params)
+            docids, scores = _score_exhaustive(st, terms, idf, avgdl, params, buf, seen)
         else:
-            docids, scores = _score_cascade(st, terms, idf, avgdl, k, params)
+            docids, scores = _score_cascade(st, terms, idf, avgdl, k, params, buf, seen)
         # round_to: select top-k on the rounded float64 value (matching
         # an engine that ranks by the rounded score); default: select on
         # float32 (the emitted dtype), so boundary ties match the emit
@@ -290,32 +290,51 @@ def _empty_result(score_dtype=np.float32) -> pd.DataFrame:
     )
 
 
-def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params):
-    """No-pruning scorer — the in-engine correctness oracle (kept
-    per-query on purpose: a batched-across-queries variant was tried
-    and re-scores each head term's full posting run once per query
-    containing it, which is exactly the blow-up the cascade's pruning
-    exists to avoid)."""
-    all_d, all_s = [], []
+def _accumulate(st: ShardTerms, term, idf, avgdl, params, buf, seen, touched):
+    """Add one term's contributions into the dense buffer; record newly
+    seen offsets (offsets are unique per term, so plain fancy-index +=
+    is exact — no np.add.at needed). Returns the count of new docs."""
+    off, contrib = st.contrib_off(term, idf[term], avgdl, params)
+    if off.size == 0:
+        return 0
+    buf[off] += contrib
+    new = off[~seen[off]]
+    if new.size:
+        seen[new] = True
+        touched.append(new)
+    return new.size
+
+
+def _harvest(buf, seen, touched, cand):
+    """Copy candidate scores out and reset the buffer slots this query
+    touched (including candidates pruned by the cascade)."""
+    scores = buf[cand].copy()
+    for t in touched:
+        buf[t] = 0.0
+        seen[t] = False
+    return scores
+
+
+def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params, buf, seen):
+    """No-pruning scorer over the dense shard accumulator — the
+    in-engine correctness oracle. Cost: one gather-scatter per posting
+    plus a candidate harvest; no sorts, no unique (the sort-based
+    accumulator was the kernel's memory-bandwidth hot spot)."""
+    touched: list[np.ndarray] = []
     for t in terms:
-        docids, contrib = st.contrib(t, idf[t], avgdl, params)
-        if docids.size == 0:
-            continue
-        all_d.append(docids)
-        all_s.append(contrib)
-    if not all_d:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    cat_d = np.concatenate(all_d)
-    cat_s = np.concatenate(all_s)
-    uniq, inv = np.unique(cat_d, return_inverse=True)
-    sums = np.bincount(inv, weights=cat_s)
-    return uniq, sums  # float64; caller picks the emit dtype
+        _accumulate(st, t, idf, avgdl, params, buf, seen, touched)
+    if not touched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
+    scores = _harvest(buf, seen, touched, cand)
+    return cand.astype(np.int64) + st.base, scores  # float64; caller picks the emit dtype
 
 
-def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
-    """Block-max MaxScore (see module docstring for the soundness
-    argument). Falls back to exhaustive behavior when the accumulator
-    never reaches k docs (then the OR phase simply runs to the end)."""
+def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
+    """Block-max MaxScore over the dense shard accumulator (see module
+    docstring for the soundness argument). Falls back to exhaustive
+    behavior when the accumulator never reaches k docs (then the OR
+    phase simply runs to the end)."""
     # shard-local true upper bounds per term (cached across the batch)
     ubs = [st.upper_bound(t, idf[t], avgdl, params) for t in terms]
     order = np.argsort(-np.asarray(ubs), kind="stable")
@@ -323,34 +342,37 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params):
     ubs = [ubs[i] for i in order]
     suffix = np.concatenate([np.cumsum(np.asarray(ubs, dtype=np.float64)[::-1])[::-1], [0.0]])
 
-    acc_d = np.empty(0, dtype=np.int64)   # sorted docids
-    acc_s = np.empty(0, dtype=np.float64)
+    touched: list[np.ndarray] = []
+    n_cand = 0
     i = 0
     for i, t in enumerate(terms):
         # switch to AND mode when unseen docs can no longer enter top-k
-        if acc_d.size >= k:
-            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
+        if n_cand >= k:
+            cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
+            theta = np.partition(buf[cand], n_cand - k)[n_cand - k]
             if suffix[i] < theta:
                 break
-        docids, contrib = st.contrib(t, idf[t], avgdl, params)
-        if docids.size:
-            acc_d, acc_s = _merge_sorted(acc_d, acc_s, docids, contrib)
+        n_cand += _accumulate(st, t, idf, avgdl, params, buf, seen, touched)
     else:
         i = len(terms)  # OR phase consumed everything
 
-    # AND phase: remaining terms scored only at accumulator docids,
+    if not touched:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
+
+    # AND phase: remaining terms scored only at surviving candidates,
     # decoding only blocks that can contain them
     for j in range(i, len(terms)):
         t = terms[j]
-        if acc_d.size == 0:
+        if cand.size == 0:
             break
-        # prune accumulators that can no longer reach the top-k
-        if acc_d.size > k:
-            theta = np.partition(acc_s, acc_s.size - k)[acc_s.size - k]
-            keep = acc_s + suffix[j] >= theta
-            acc_d, acc_s = acc_d[keep], acc_s[keep]
-        docids, contrib = st.contrib_at(t, acc_d, idf[t], avgdl, params)
+        # prune candidates that can no longer reach the top-k
+        if cand.size > k:
+            sc = buf[cand]
+            theta = np.partition(sc, cand.size - k)[cand.size - k]
+            cand = cand[sc + suffix[j] >= theta]
+        docids, contrib = st.contrib_at(t, np.sort(cand) + st.base, idf[t], avgdl, params)
         if docids.size:
-            pos = np.searchsorted(acc_d, docids)
-            np.add.at(acc_s, pos, contrib)
-    return acc_d, acc_s  # float64; caller picks the emit dtype
+            buf[docids - st.base] += contrib
+    scores = _harvest(buf, seen, touched, cand)
+    return cand.astype(np.int64) + st.base, scores  # float64; caller picks the emit dtype
