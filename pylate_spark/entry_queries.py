@@ -596,8 +596,21 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(results, qrels, k=K)
 
 
-def _eval_ndcg_sql() -> str:
-    return f"""{_BM25_CTES},
+def q_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 through the real engine path (same qrels as eval_ndcg);
+    integer-free fraction rounded to 6 — hash-checked against DuckDB."""
+    from pylate_spark.evaluation import term_overlap_qrels
+    from pylate_spark.operators.metrics import recall_at_k
+    from pylate_spark.plans.query import InvertedIndex
+
+    results = InvertedIndex(spark, _indexed(spark, sf_dir)).search(
+        QUERYSET, k=K, mode="auto", round_to=4
+    )
+    qrels = term_overlap_qrels(_docs(spark, sf_dir), _queryset_df(spark), max_docid=500)
+    return recall_at_k(results, qrels, k=K)
+
+
+_EVAL_RANKED_QRELS = f"""
 scored AS (
   SELECT qt.query_id, tf.doc_id AS docid,
          sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
@@ -622,7 +635,29 @@ qrels AS (
          CAST(count(DISTINCT qt.term) AS BIGINT) AS relevance
   FROM qt JOIN tf USING (term) WHERE tf.doc_id < 500
   GROUP BY qt.query_id, tf.doc_id
+)"""
+
+
+def _eval_recall_sql() -> str:
+    return f"""{_BM25_CTES},
+{_EVAL_RANKED_QRELS},
+n_rel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qrels
+  WHERE relevance > 0 GROUP BY query_id
 ),
+found AS (
+  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_found
+  FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.docid = q.docid
+  WHERE r.rank <= {K} AND q.relevance > 0 GROUP BY r.query_id
+)
+SELECT n.query_id, round(coalesce(f.n_found, 0) / CAST(n.n_rel AS DOUBLE), 6) AS recall
+FROM n_rel n LEFT JOIN found f USING (query_id)
+"""
+
+
+def _eval_ndcg_sql() -> str:
+    return f"""{_BM25_CTES},
+{_EVAL_RANKED_QRELS},
 dcg AS (
   SELECT r.query_id,
          sum((pow(2.0, q.relevance) - 1) / log2(r.rank + 1)) AS dcg
@@ -738,6 +773,7 @@ def catalog() -> dict[str, tuple]:
         "ann_ivf_topk": (q_ann_ivf_topk, None),
         "embedding_near_dups": (q_embedding_near_dups, _near_dup_sql()),
         "eval_ndcg": (q_eval_ndcg, _eval_ndcg_sql()),
+        "eval_recall": (q_eval_recall, _eval_recall_sql()),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "quality_features": (q_quality, SQL_QUALITY),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
