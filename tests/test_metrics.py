@@ -97,3 +97,39 @@ def test_consolidate_segments(spark, tmp_path):
     assert n_dirs_after == 1
     after = InvertedIndex(spark, d).search(q, k=10).orderBy("query_id", "rank").collect()
     assert before == after
+
+
+def test_evaluate_index_end_to_end(spark, tmp_path):
+    """The BEIR-evaluate analog: build -> search -> per-query metrics
+    table via evaluation.evaluate_index, with deterministic term-overlap
+    qrels; sanity: metrics bounded, every judged query present."""
+    from pylate_spark.config import IndexConfig
+    from pylate_spark.evaluation import evaluate_index, term_overlap_qrels
+    from pylate_spark.plans.build import build_index
+    from pylate_spark.sources.synth import synth_pages_pandas, synth_queries_pandas
+
+    d = str(tmp_path / "idx")
+    pages = spark.createDataFrame(synth_pages_pandas(300))
+    build_index(spark, pages, d,
+                config=IndexConfig(shard_size=64, block_size=32, term_buckets=8),
+                shards_per_batch=2)
+    qpdf = synth_queries_pandas(10)
+    queries = [(int(r.query_id), r.text) for r in qpdf.itertuples()]
+    # derive doc ids the same way the build did (rank of url) so the
+    # qrels docids line up with the index docids
+    from pyspark.sql import functions as F
+
+    from pylate_spark.operators.docids import assign_docids
+
+    with_ids, cache = assign_docids(pages, 64, key_col="url")
+    qdf = spark.createDataFrame(qpdf)
+    qrels = term_overlap_qrels(
+        with_ids.select(F.col("docid").alias("doc_id"), "text"), qdf, max_docid=300
+    )
+    out = evaluate_index(spark, d, queries, qrels, k=5).collect()
+    cache.unpersist()
+    assert len(out) > 0
+    for r in out:
+        assert r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0
+        assert r["recall"] is None or 0.0 <= r["recall"] <= 1.0
+        assert r["hits"] is None or 0 <= r["hits"] <= 5
