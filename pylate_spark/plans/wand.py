@@ -371,7 +371,11 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
             sc = buf[cand]
             theta = np.partition(sc, cand.size - k)[cand.size - k]
             cand = cand[sc + suffix[j] >= theta]
-        docids, contrib = st.contrib_at(t, np.sort(cand) + st.base, idf[t], avgdl, params)
+        # int64 before adding the base: cand is int32 (buffer offsets)
+        # and base can exceed int32 at 10^12-doc docid ranges
+        docids, contrib = st.contrib_at(
+            t, np.sort(cand).astype(np.int64) + st.base, idf[t], avgdl, params
+        )
         if docids.size:
             buf[docids - st.base] += contrib
     scores = _harvest(buf, seen, touched, cand)
