@@ -76,9 +76,11 @@ dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 """
 
 
-def _bm25_sql(extra_where: str = "TRUE") -> str:
-    return f"""{_BM25_CTES},
-scored AS (
+def _bm25_scored_cte(extra_where: str = "TRUE") -> str:
+    """The single source of the oracle-side BM25 scoring expression —
+    shared by the top-k oracles and the evaluation oracles so the
+    formula can never desynchronize between them."""
+    return f"""scored AS (
   SELECT qt.query_id, tf.doc_id AS docid,
          sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
               * (tf.tf * 2.2)
@@ -90,7 +92,12 @@ scored AS (
   CROSS JOIN stats s
   WHERE {extra_where}
   GROUP BY qt.query_id, tf.doc_id
-),
+)"""
+
+
+def _bm25_sql(extra_where: str = "TRUE") -> str:
+    return f"""{_BM25_CTES},
+{_bm25_scored_cte(extra_where)},
 ranked AS (
   SELECT query_id, docid, round(score_raw, 4) AS score,
          CAST(row_number() OVER (
@@ -165,8 +172,11 @@ def q_term_stats_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global term statistics read back from the BUILT index — integer
     outputs, so the whole SPIMI pipeline (tokenize → shard shuffle →
     block encode → stats merge) is value-hash-checked against DuckDB."""
+    from pylate_spark.plans.build import IndexPaths, active_dir, load_manifest
+
     d = _indexed(spark, sf_dir)
-    ts = spark.read.parquet(f"{d}/term_stats")
+    paths = IndexPaths(d)
+    ts = spark.read.parquet(active_dir(paths, load_manifest(paths), "term_stats"))
     return (
         ts.select("term", "df", "cf")
         .orderBy(F.desc("df"), F.asc("term"))
@@ -611,18 +621,7 @@ def q_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVAL_RANKED_QRELS = f"""
-scored AS (
-  SELECT qt.query_id, tf.doc_id AS docid,
-         sum( ln((s.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score_raw
-  FROM qt
-  JOIN tf USING (term)
-  JOIN dfs USING (term)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats s
-  GROUP BY qt.query_id, tf.doc_id
-),
+{_bm25_scored_cte()},
 ranked AS (
   SELECT query_id, docid,
          CAST(row_number() OVER (

@@ -54,7 +54,14 @@ def evaluate(
     results: DataFrame, qrels: DataFrame, k: int = 10
 ) -> DataFrame:
     """Per-query metrics table (query_id, ndcg, hits, recall) for a
-    ranked ``(query_id, rank, docid, score)`` results DataFrame."""
+    ranked ``(query_id, rank, docid, score)`` results DataFrame.
+
+    ``results``/``qrels`` are cached for the duration of the plan: the
+    three metric pipelines each reference them, and Spark re-executes
+    self-joined lineages — without the cache an index-backed results
+    DataFrame would run the whole scatter-gather search three times."""
+    results = results.cache()
+    qrels = qrels.cache()
     nd = ndcg_at_k(results, qrels, k=k)
     h = hits_at_k(results, qrels, k=k)
     r = recall_at_k(results, qrels, k=k)

@@ -140,8 +140,20 @@ def ivf_topk(
     )
     if n_probe > 1:
         # XOR masks in increasing Hamming weight: 0, then single-bit
-        # flips, then double-bit flips ... truncated at n_probe buckets
-        masks = sorted(range(1 << n_planes), key=lambda m: (bin(m).count("1"), m))[:n_probe]
+        # flips, then double-bit flips ... truncated at n_probe buckets.
+        # Generated lazily by weight (combinations over bit positions) —
+        # enumerating all 2^n_planes ids would hang at realistic plane
+        # counts (n_planes=24 → 16M ids for a handful of probes)
+        from itertools import combinations
+
+        masks = []
+        for w in range(n_planes + 1):
+            for bits in combinations(range(n_planes), w):
+                masks.append(sum(1 << b for b in bits))
+                if len(masks) >= n_probe:
+                    break
+            if len(masks) >= n_probe:
+                break
         q = q.withColumn(
             "bucket",
             F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),

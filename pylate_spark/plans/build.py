@@ -82,6 +82,51 @@ class IndexPaths:
         return storage.join(self.root, MANIFEST)
 
 
+#: logical state directories whose rewrites are versioned
+_VERSIONED = ("segments", "term_stats", "docmap", "staging")
+
+
+def active_dir(paths: IndexPaths, manifest: dict, name: str) -> str:
+    """Resolve a logical state dir (segments/term_stats/docmap/staging)
+    to its current physical directory. Rewrites write a NEW versioned
+    directory and flip this pointer inside the atomic manifest commit —
+    the object-store-safe swap: there is never a window where the live
+    directory has been deleted but its replacement not yet moved in
+    (a delete-then-rename swap has exactly that window, and on S3 the
+    'rename' is a long copy). Superseded versions are garbage-collected
+    after the commit (:func:`gc_stale_versions`)."""
+    return storage.join(paths.root, manifest.get("dirs", {}).get(name, name))
+
+
+def bump_dir(manifest: dict, name: str) -> str:
+    """Allocate the next version name for a logical dir and point the
+    (in-memory) manifest at it. The caller writes the new data there,
+    then commits via save_manifest — a crash in between leaves the old
+    version active and the new dir as garbage for the next GC."""
+    cur = manifest.get("dirs", {}).get(name, name)
+    tail = cur.rsplit("_v", 1)
+    v = int(tail[1]) + 1 if len(tail) == 2 and tail[1].isdigit() else 1
+    nxt = f"{name}_v{v}"
+    manifest.setdefault("dirs", {})[name] = nxt
+    return nxt
+
+
+def gc_stale_versions(paths: IndexPaths, manifest: dict) -> None:
+    """Best-effort removal of superseded version dirs. Safe any time
+    after the manifest commit; a crash mid-GC just leaves garbage for
+    the next sweep. (No snapshot isolation: a reader holding a handle
+    to a superseded version may fail after GC — re-open the index after
+    mutations, as the reference does after IndexUpdater runs.)"""
+    import re
+
+    dirs = manifest.get("dirs", {})
+    active = {dirs.get(n, n) for n in _VERSIONED}
+    pat = re.compile(r"^(" + "|".join(_VERSIONED) + r")(_v\d+)?$")
+    for name in storage.listdir(paths.root):
+        if pat.match(name) and name not in active:
+            storage.rmtree(storage.join(paths.root, name))
+
+
 def load_manifest(paths: IndexPaths) -> dict:
     if storage.exists(paths.manifest):
         return json.loads(storage.read_text(paths.manifest))
@@ -104,6 +149,7 @@ def _stage_corpus(
     key_col: str,
     text_col: str,
     docid_base: int = 0,
+    staging_dir: str | None = None,
 ) -> None:
     """Write the staged corpus ``(batch, shard, docid, url, dl, text)``
     partitioned by batch. ``dl`` is computed with the *native*
@@ -131,7 +177,7 @@ def _stage_corpus(
             F.col(text_col).alias("text"),
         )
     )
-    staged.write.mode("append").partitionBy("batch").parquet(paths.staging)
+    staged.write.mode("append").partitionBy("batch").parquet(staging_dir or paths.staging)
     cache.unpersist(blocking=False)
 
 
@@ -141,17 +187,20 @@ def _build_one_batch(
     config: IndexConfig,
     batch: int,
     shards_per_batch: int,
+    manifest: dict,
 ) -> dict:
     """Tokenize → shuffle-by-shard → encode → append segments for one
     batch of shards. Returns the manifest metrics entry."""
     t0 = time.time()
+    seg_dir = active_dir(paths, manifest, "segments")
+    staging_dir = active_dir(paths, manifest, "staging")
     # a batch that previously died mid-write is discarded wholesale —
     # the batch directory is the atomic unit of commit (the analog of
     # the reference's per-chunk save + chunk-exists resume check,
     # ``index_saver.py:28-50``)
-    batch_dir = storage.join(paths.segments, f"batch={batch}")
+    batch_dir = storage.join(seg_dir, f"batch={batch}")
     storage.rmtree(batch_dir)
-    staged = spark.read.parquet(paths.staging).where(F.col("batch") == batch)
+    staged = spark.read.parquet(staging_dir).where(F.col("batch") == batch)
     block_size, n_buckets = config.block_size, config.term_buckets
     # SPIMI proper: exchange the *text* by doc-range shard first, then
     # tokenize → local sort → encode fused in ONE wide stage. The long
@@ -181,7 +230,7 @@ def _build_one_batch(
     # both the write and every later bucket-pruned query scan). The
     # extra shuffle moves only the compressed index, not the corpus.
     encoded = encoded.repartition("bucket").sortWithinPartitions("term", "shard")
-    encoded.write.mode("append").partitionBy("batch", "bucket").parquet(paths.segments)
+    encoded.write.mode("append").partitionBy("batch", "bucket").parquet(seg_dir)
 
     # metrics from the written data (cheap column scan, no payload read)
     m = (
@@ -218,14 +267,14 @@ def _build_one_batch(
     }
 
 
-def _tombstone_deltas(spark: SparkSession, paths: IndexPaths):
+def _tombstone_deltas(spark: SparkSession, paths: IndexPaths, manifest: dict):
     """(per-term df/cf deltas DF, n_deleted_tokenized, deleted sum_dl)
     for all tombstoned docids, recomputed exactly from staged text.
     Returns (None, 0, 0) when there are no tombstones."""
     if not storage.exists(paths.tombstones):
         return None, 0, 0
     tomb = spark.read.parquet(paths.tombstones).distinct()
-    staged = spark.read.parquet(paths.staging)
+    staged = spark.read.parquet(active_dir(paths, manifest, "staging"))
     deleted = staged.join(F.broadcast(tomb), "docid", "inner")
     from pylate_spark.functions.tokenize import terms_long as _tl
 
@@ -244,8 +293,11 @@ def _tombstone_deltas(spark: SparkSession, paths: IndexPaths):
 def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manifest: dict) -> dict:
     """Global term stats (SPIMI merge bookkeeping), docmap, corpus stats.
     Tombstoned documents are subtracted exactly, so re-finalizing after
-    an incremental add preserves delete semantics."""
-    seg = spark.read.parquet(paths.segments)
+    an incremental add preserves delete semantics. term_stats and docmap
+    are written as NEW version dirs and flipped in the same manifest
+    commit that flips ``finalized`` (an in-place overwrite would leave a
+    torn directory on a crash mid-write)."""
+    seg = spark.read.parquet(active_dir(paths, manifest, "segments"))
     ts = (
         seg.groupBy("term")
         .agg(
@@ -256,7 +308,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manif
             F.count(F.lit(1)).alias("merge_fan_in"),
         )
     )
-    deltas, n_del, dl_del = _tombstone_deltas(spark, paths)
+    deltas, n_del, dl_del = _tombstone_deltas(spark, paths, manifest)
     if deltas is not None:
         ts = (
             ts.join(F.broadcast(deltas), "term", "left")
@@ -265,15 +317,18 @@ def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manif
             .drop("df_del", "cf_del")
             .where(F.col("df") > 0)
         )
-    ts.write.mode("overwrite").parquet(paths.term_stats)
+    staging_dir = active_dir(paths, manifest, "staging")
+    ts_dir = storage.join(paths.root, bump_dir(manifest, "term_stats"))
+    ts.write.mode("overwrite").parquet(ts_dir)
 
-    staged = spark.read.parquet(paths.staging)
-    staged.select("url", "docid", "shard", "dl").write.mode("overwrite").parquet(paths.docmap)
+    staged = spark.read.parquet(staging_dir)
+    dm_dir = storage.join(paths.root, bump_dir(manifest, "docmap"))
+    staged.select("url", "docid", "shard", "dl").write.mode("overwrite").parquet(dm_dir)
 
     batches = manifest.get("batches", {})
     n_docs = sum(b["n_docs_tokenized"] for b in batches.values()) - n_del
     sum_dl = sum(b["sum_dl"] for b in batches.values()) - dl_del
-    fan = spark.read.parquet(paths.term_stats).agg(
+    fan = spark.read.parquet(ts_dir).agg(
         F.avg("merge_fan_in").alias("avg"), F.max("merge_fan_in").alias("max")
     ).collect()[0]
     manifest.update(
@@ -290,7 +345,8 @@ def _finalize(spark: SparkSession, paths: IndexPaths, config: IndexConfig, manif
             "lineage": manifest.get("lineage", []),
         }
     )
-    save_manifest(paths, manifest)
+    save_manifest(paths, manifest)  # atomic commit incl. the dir flips
+    gc_stale_versions(paths, manifest)
     return manifest
 
 
@@ -321,10 +377,14 @@ def build_index(
     storage.makedirs(paths.root)
 
     if not manifest.get("staged"):
-        storage.rmtree(paths.staging)  # killed mid-staging → redo atomically
-        _stage_corpus(spark, pages, paths, config, shards_per_batch, key_col, text_col)
+        staging_dir = active_dir(paths, manifest, "staging")
+        storage.rmtree(staging_dir)  # killed mid-staging → redo atomically
+        _stage_corpus(
+            spark, pages, paths, config, shards_per_batch, key_col, text_col,
+            staging_dir=staging_dir,
+        )
         n_batches = (
-            spark.read.parquet(paths.staging).agg(F.max("batch")).collect()[0][0] or 0
+            spark.read.parquet(staging_dir).agg(F.max("batch")).collect()[0][0] or 0
         ) + 1
         manifest = {
             "staged": True,
@@ -349,7 +409,7 @@ def build_index(
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue
-        entry = _build_one_batch(spark, paths, config, batch, shards_per_batch)
+        entry = _build_one_batch(spark, paths, config, batch, shards_per_batch, manifest)
         manifest["batches"][key] = entry
         save_manifest(paths, manifest)  # per-batch durable commit point
 

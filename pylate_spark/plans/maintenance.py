@@ -50,6 +50,9 @@ from pylate_spark.plans.build import (
     _build_one_batch,
     _finalize,
     _stage_corpus,
+    active_dir,
+    bump_dir,
+    gc_stale_versions,
     load_manifest,
     save_manifest,
 )
@@ -73,10 +76,10 @@ def _persisted_spb(manifest: dict, caller_value: int | None) -> int:
     return spb
 
 
-def _purge_staged_batches(paths: IndexPaths, first_batch: int) -> None:
+def _purge_staged_batches(staging_dir: str, first_batch: int) -> None:
     """Remove staged batch partitions >= first_batch (repair path for
     an add that crashed between staging write and manifest commit)."""
-    for name in storage.listdir(paths.staging):
+    for name in storage.listdir(staging_dir):
         if not name.startswith("batch="):
             continue
         try:
@@ -84,7 +87,23 @@ def _purge_staged_batches(paths: IndexPaths, first_batch: int) -> None:
         except ValueError:
             continue
         if b >= first_batch:
-            storage.rmtree(storage.join(paths.staging, name))
+            storage.rmtree(storage.join(staging_dir, name))
+
+
+def _repair_pending_add(paths: IndexPaths, manifest: dict) -> dict:
+    """If a previous add crashed between its pending_add marker and the
+    staging commit, its orphan staged rows were never indexed — purge
+    them before ANY operation that consumes staging (delete stats
+    deltas, compact's staging rewrite, docmap re-finalize), not just
+    before the next add. The interrupted epoch's source replays it."""
+    pending = manifest.get("pending_add")
+    if pending:
+        _purge_staged_batches(
+            active_dir(paths, manifest, "staging"), int(pending["first_new_batch"])
+        )
+        manifest.pop("pending_add")
+        save_manifest(paths, manifest)
+    return manifest
 
 
 def add_documents(
@@ -127,17 +146,11 @@ def add_documents(
     spb = _persisted_spb(manifest, shards_per_batch)
     batch_span = config.shard_size * spb
 
-    # repair a half-staged previous add: its rows were never committed
-    # (the post-staging manifest write didn't happen), so purge them —
-    # whichever epoch they belonged to will be replayed by its source
-    pending = manifest.get("pending_add")
-    if pending:
-        _purge_staged_batches(paths, int(pending["first_new_batch"]))
-        manifest.pop("pending_add")
-        save_manifest(paths, manifest)
+    manifest = _repair_pending_add(paths, manifest)
 
+    staging_dir = active_dir(paths, manifest, "staging")
     cur_max = int(
-        spark.read.parquet(paths.staging).agg(F.max("docid")).collect()[0][0] or -1
+        spark.read.parquet(staging_dir).agg(F.max("docid")).collect()[0][0] or -1
     )
     committed_max = max((int(k) for k in manifest.get("batches", {})), default=-1)
     next_batch = max(cur_max // batch_span, committed_max) + 1
@@ -155,10 +168,10 @@ def add_documents(
 
     _stage_corpus(
         spark, new_pages, paths, config, spb, key_col, text_col,
-        docid_base=docid_base,
+        docid_base=docid_base, staging_dir=staging_dir,
     )
     n_batches = int(
-        spark.read.parquet(paths.staging).agg(F.max("batch")).collect()[0][0]
+        spark.read.parquet(staging_dir).agg(F.max("batch")).collect()[0][0]
     ) + 1
     manifest["n_batches"] = n_batches
     manifest["finalized"] = False
@@ -177,7 +190,7 @@ def add_documents(
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue
-        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb)
+        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb, manifest)
         save_manifest(paths, manifest)
     return _finalize(spark, paths, config, manifest)
 
@@ -192,6 +205,7 @@ def resume_add(
     (the resume discipline of ``collection_indexer.py:64-71``)."""
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
+    manifest = _repair_pending_add(paths, manifest)
     if manifest.get("finalized"):
         return manifest
     if not manifest.get("staged"):
@@ -202,7 +216,7 @@ def resume_add(
         key = str(batch)
         if manifest["batches"].get(key, {}).get("status") == "committed":
             continue
-        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb)
+        manifest["batches"][key] = _build_one_batch(spark, paths, config, batch, spb, manifest)
         save_manifest(paths, manifest)
     return _finalize(spark, paths, config, manifest)
 
@@ -213,6 +227,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     manifest = load_manifest(paths)
     if not manifest.get("finalized"):
         raise ValueError("delete_documents requires a finalized index")
+    manifest = _repair_pending_add(paths, manifest)
 
     ids_df = spark.createDataFrame([(int(d),) for d in docids], "docid long").distinct()
     if storage.exists(paths.tombstones):
@@ -224,14 +239,14 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     ids_df.write.mode("append").parquet(paths.tombstones)
 
     # exact per-term df/cf deltas from the deleted docs' staged text
-    staged = spark.read.parquet(paths.staging)
+    staged = spark.read.parquet(active_dir(paths, manifest, "staging"))
     deleted = staged.join(F.broadcast(ids_df), "docid", "inner")
     deltas = (
         terms_long(deleted.select("docid", "text"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_del"), F.sum("tf").alias("cf_del"))
     )
-    ts = spark.read.parquet(paths.term_stats)
+    ts = spark.read.parquet(active_dir(paths, manifest, "term_stats"))
     new_ts = (
         ts.join(F.broadcast(deltas), "term", "left")
         .withColumn("df", F.col("df") - F.coalesce(F.col("df_del"), F.lit(0)))
@@ -239,9 +254,12 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
         .drop("df_del", "cf_del")
         .where(F.col("df") > 0)
     )
-    tmp = paths.term_stats + "_tmp"
-    new_ts.write.mode("overwrite").parquet(tmp)
-    storage.rename(tmp, paths.term_stats)
+    # versioned rewrite: write the new stats dir, flip the pointer in
+    # the same manifest commit as the stats update below (no
+    # delete-then-move window), GC the old version after
+    new_ts.write.mode("overwrite").parquet(
+        storage.join(paths.root, bump_dir(manifest, "term_stats"))
+    )
 
     d = deleted.agg(
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
@@ -256,6 +274,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
         {"stage": "delete_documents", "at": _now(), "n_deleted": n_del}
     )
     save_manifest(paths, manifest)
+    gc_stale_versions(paths, manifest)
     return manifest
 
 
@@ -270,6 +289,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
     config = IndexConfig.from_dict(manifest["config"])
+    manifest = _repair_pending_add(paths, manifest)
     if not storage.exists(paths.tombstones):
         return manifest
     tomb = np.sort(
@@ -328,7 +348,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     from pylate_spark.plans.segments import SEGMENT_SCHEMA
 
     new = (
-        spark.read.parquet(paths.segments)
+        spark.read.parquet(active_dir(paths, manifest, "segments"))
         .drop("batch")
         .mapInArrow(rewrite, schema=SEGMENT_SCHEMA)
         .withColumn("batch", F.lit(0))
@@ -337,21 +357,25 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         .repartition("bucket")
         .sortWithinPartitions("term", "shard")
     )
-    tmp = paths.segments + "_tmp"
-    new.write.mode("overwrite").partitionBy("batch", "bucket").parquet(tmp)
-    storage.rename(tmp, paths.segments)
+    # versioned rewrites: new segments + staging dirs become live only
+    # at the manifest commit below; until then every reader still sees
+    # the old versions (object-store-safe, no delete-then-move window)
+    new_seg_dir = storage.join(paths.root, bump_dir(manifest, "segments"))
+    new.write.mode("overwrite").partitionBy("batch", "bucket").parquet(new_seg_dir)
 
     # purge staging too, and re-derive per-batch doc stats, so a later
     # re-finalize (e.g. after add_documents) doesn't resurrect deleted
     # docs' contribution to N/avgdl
     tomb_df = spark.read.parquet(paths.tombstones).distinct()
-    staged = spark.read.parquet(paths.staging).join(F.broadcast(tomb_df), "docid", "left_anti")
-    stg_tmp = paths.staging + "_tmp"
-    staged.write.mode("overwrite").partitionBy("batch").parquet(stg_tmp)
-    storage.rename(stg_tmp, paths.staging)
+    # resolve the CURRENT staging dir before bumping its pointer
+    staged = spark.read.parquet(active_dir(paths, manifest, "staging")).join(
+        F.broadcast(tomb_df), "docid", "left_anti"
+    )
+    new_stg_dir = storage.join(paths.root, bump_dir(manifest, "staging"))
+    staged.write.mode("overwrite").partitionBy("batch").parquet(new_stg_dir)
     per_batch = {
         int(r["batch"]): r
-        for r in spark.read.parquet(paths.staging)
+        for r in spark.read.parquet(new_stg_dir)
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -365,17 +389,20 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         entry["n_docs"] = int(r["n_docs"]) if r is not None else 0
         entry["n_docs_tokenized"] = int(r["n_docs_tokenized"]) if r is not None else 0
         entry["sum_dl"] = int(r["sum_dl"]) if r is not None else 0
-    storage.rmtree(paths.tombstones)
     manifest.setdefault("lineage", []).append(
         {"stage": "compact", "at": _now(), "n_tombstones_purged": int(tomb.size)}
     )
-    save_manifest(paths, manifest)
+    save_manifest(paths, manifest)  # commit point: both dir flips live
+    # tombstones are cleared only after the flips are durable; a crash
+    # in between re-runs compact as a no-op filter and converges
+    storage.rmtree(paths.tombstones)
+    gc_stale_versions(paths, manifest)
     manifest = _finalize(spark, paths, config, manifest)
     # per-batch n_postings/bytes are stale after the rewrite (postings
     # moved to batch=0); refresh the manifest-level totals from the
     # rewritten segments so build metrics stay truthful
     m = (
-        spark.read.parquet(paths.segments)
+        spark.read.parquet(active_dir(paths, manifest, "segments"))
         .agg(F.sum("df").alias("p"), F.sum(F.length("payload")).alias("b"))
         .collect()[0]
     )
@@ -399,19 +426,20 @@ def consolidate_segments(spark: SparkSession, index_dir: str) -> dict:
     manifest = load_manifest(paths)
     if not manifest.get("finalized"):
         raise ValueError("consolidate_segments requires a finalized index")
-    seg = spark.read.parquet(paths.segments).drop("batch")
-    tmp = paths.segments + "_tmp"
+    manifest = _repair_pending_add(paths, manifest)
+    seg = spark.read.parquet(active_dir(paths, manifest, "segments")).drop("batch")
+    new_seg_dir = storage.join(paths.root, bump_dir(manifest, "segments"))
     (
         seg.withColumn("batch", F.lit(0))
         .repartition("bucket")
         .sortWithinPartitions("term", "shard")
         .write.mode("overwrite")
         .partitionBy("batch", "bucket")
-        .parquet(tmp)
+        .parquet(new_seg_dir)
     )
-    storage.rename(tmp, paths.segments)
     manifest.setdefault("lineage", []).append(
         {"stage": "consolidate_segments", "at": _now()}
     )
-    save_manifest(paths, manifest)
+    save_manifest(paths, manifest)  # commit point: the dir flip is live
+    gc_stale_versions(paths, manifest)
     return manifest

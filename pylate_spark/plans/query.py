@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from pylate_spark.config import BM25Params, IndexConfig
 from pylate_spark.functions.bm25 import bm25_score_col
 from pylate_spark.functions.tokenize import terms_long, tokenize_py, tokenize_udf
-from pylate_spark.plans.build import IndexPaths, load_manifest
+from pylate_spark.plans.build import IndexPaths, active_dir, load_manifest
 from pylate_spark.plans.wand import score_shard
 
 def _result_schema(round_to: int | None) -> T.StructType:
@@ -86,7 +86,9 @@ class InvertedIndex:
         # driver-side caches for repeated searches on one handle; a
         # mutated index (add/delete/compact) needs a fresh InvertedIndex
         # (the reference reloads its searcher after IndexUpdater runs)
-        self._seg = self.spark.read.parquet(self.paths.segments)
+        # state dirs resolve through the manifest (versioned rewrites
+        # flip these pointers atomically; see plans/build.active_dir)
+        self._seg = self.spark.read.parquet(active_dir(self.paths, self.manifest, "segments"))
         self._df_cache: dict[str, int | None] = {}
         # tombstones are loaded ONCE per handle and broadcast: they are
         # re-used by every search/doc_vectors call, and a broadcast ships
@@ -108,7 +110,7 @@ class InvertedIndex:
     # -- id resolution (the reference's id<->docid pickles,
     #    fast_plaid.py:136-174) ------------------------------------
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docmap)
+        return self.spark.read.parquet(active_dir(self.paths, self.manifest, "docmap"))
 
     def resolve_urls(self, results: DataFrame) -> DataFrame:
         """Join ranked results back to urls (broadcast the small side)."""
@@ -205,7 +207,7 @@ class InvertedIndex:
         missing = [t for t in all_terms if t not in self._df_cache]
         if missing:
             stats = (
-                self.spark.read.parquet(self.paths.term_stats)
+                self.spark.read.parquet(active_dir(self.paths, self.manifest, "term_stats"))
                 .where(F.col("term").isin(missing))
                 .select("term", "df")
                 .collect()

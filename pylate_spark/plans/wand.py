@@ -247,6 +247,12 @@ def score_shard(
     have = set(st.terms())
     buf = np.zeros(shard_size, dtype=np.float64)
     seen = np.zeros(shard_size, dtype=bool)
+    store = np.empty(shard_size, dtype=np.int32)  # touched-offset log
+    # rounded-rank safety margin: when ranking by round(score, r), a doc
+    # may only be pruned if its score upper bound is a full rounding
+    # grid step below θ — otherwise its rounded score could tie the
+    # rounded k-th and win the docid tie-break (2× grid for float fuzz)
+    eps = 2 * 10.0 ** (-round_to) if round_to is not None else 0.0
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries.items():
         terms = [t for t in qterms if t in have]
@@ -254,9 +260,11 @@ def score_shard(
             continue
         qmode = choose_mode(len(terms), k) if mode == "auto" else mode
         if qmode == "exhaustive":
-            docids, scores = _score_exhaustive(st, terms, idf, avgdl, params, buf, seen)
+            docids, scores = _score_exhaustive(st, terms, idf, avgdl, params, buf, seen, store)
         else:
-            docids, scores = _score_cascade(st, terms, idf, avgdl, k, params, buf, seen)
+            docids, scores = _score_cascade(
+                st, terms, idf, avgdl, k, params, buf, seen, store, eps
+            )
         # round_to: select top-k on the rounded float64 value (matching
         # an engine that ranks by the rounded score); default: select on
         # float32 (the emitted dtype), so boundary ties match the emit
@@ -290,51 +298,59 @@ def _empty_result(score_dtype=np.float32) -> pd.DataFrame:
     )
 
 
-def _accumulate(st: ShardTerms, term, idf, avgdl, params, buf, seen, touched):
-    """Add one term's contributions into the dense buffer; record newly
-    seen offsets (offsets are unique per term, so plain fancy-index +=
-    is exact — no np.add.at needed). Returns the count of new docs."""
+def _accumulate(st: ShardTerms, term, idf, avgdl, params, buf, seen, store, n: int) -> int:
+    """Add one term's contributions into the dense buffer; append newly
+    seen offsets to the candidate store (offsets are unique per term, so
+    plain fancy-index += is exact — no np.add.at needed). Returns the
+    new candidate count (the store is append-only per query: O(new)
+    amortized, no re-concatenation)."""
     off, contrib = st.contrib_off(term, idf[term], avgdl, params)
     if off.size == 0:
-        return 0
+        return n
     buf[off] += contrib
     new = off[~seen[off]]
     if new.size:
         seen[new] = True
-        touched.append(new)
-    return new.size
+        store[n:n + new.size] = new
+        n += new.size
+    return n
 
 
-def _harvest(buf, seen, touched, cand):
+def _harvest(buf, seen, store, n: int, cand):
     """Copy candidate scores out and reset the buffer slots this query
-    touched (including candidates pruned by the cascade)."""
+    touched (all of ``store[:n]``, including candidates pruned by the
+    cascade)."""
     scores = buf[cand].copy()
-    for t in touched:
-        buf[t] = 0.0
-        seen[t] = False
+    allt = store[:n]
+    buf[allt] = 0.0
+    seen[allt] = False
     return scores
 
 
-def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params, buf, seen):
+def _score_exhaustive(st: ShardTerms, terms, idf, avgdl, params, buf, seen, store):
     """No-pruning scorer over the dense shard accumulator — the
     in-engine correctness oracle. Cost: one gather-scatter per posting
     plus a candidate harvest; no sorts, no unique (the sort-based
     accumulator was the kernel's memory-bandwidth hot spot)."""
-    touched: list[np.ndarray] = []
+    n = 0
     for t in terms:
-        _accumulate(st, t, idf, avgdl, params, buf, seen, touched)
-    if not touched:
+        n = _accumulate(st, t, idf, avgdl, params, buf, seen, store, n)
+    if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
-    scores = _harvest(buf, seen, touched, cand)
-    return cand.astype(np.int64) + st.base, scores  # float64; caller picks the emit dtype
+    cand = store[:n]
+    docids = cand.astype(np.int64) + st.base  # copy BEFORE the reset
+    scores = _harvest(buf, seen, store, n, cand)
+    return docids, scores  # float64; caller picks the emit dtype
 
 
-def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
+def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen, store, eps=0.0):
     """Block-max MaxScore over the dense shard accumulator (see module
     docstring for the soundness argument). Falls back to exhaustive
     behavior when the accumulator never reaches k docs (then the OR
-    phase simply runs to the end)."""
+    phase simply runs to the end). ``eps`` slackens every θ comparison
+    so pruning stays exact when the caller ranks by ROUNDED scores (a
+    doc whose upper bound is within one rounding grid step of θ could
+    round-tie the k-th and win the docid tie-break — it must survive)."""
     # shard-local true upper bounds per term (cached across the batch)
     ubs = [st.upper_bound(t, idf[t], avgdl, params) for t in terms]
     order = np.argsort(-np.asarray(ubs), kind="stable")
@@ -342,23 +358,21 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
     ubs = [ubs[i] for i in order]
     suffix = np.concatenate([np.cumsum(np.asarray(ubs, dtype=np.float64)[::-1])[::-1], [0.0]])
 
-    touched: list[np.ndarray] = []
     n_cand = 0
     i = 0
     for i, t in enumerate(terms):
         # switch to AND mode when unseen docs can no longer enter top-k
         if n_cand >= k:
-            cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
-            theta = np.partition(buf[cand], n_cand - k)[n_cand - k]
-            if suffix[i] < theta:
+            theta = np.partition(buf[store[:n_cand]], n_cand - k)[n_cand - k]
+            if suffix[i] < theta - eps:
                 break
-        n_cand += _accumulate(st, t, idf, avgdl, params, buf, seen, touched)
+        n_cand = _accumulate(st, t, idf, avgdl, params, buf, seen, store, n_cand)
     else:
         i = len(terms)  # OR phase consumed everything
 
-    if not touched:
+    if n_cand == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    cand = np.concatenate(touched) if len(touched) > 1 else touched[0]
+    cand = store[:n_cand]
 
     # AND phase: remaining terms scored only at surviving candidates,
     # decoding only blocks that can contain them
@@ -366,11 +380,11 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
         t = terms[j]
         if cand.size == 0:
             break
-        # prune candidates that can no longer reach the top-k
+        # prune candidates that can no longer reach (or round-tie) the top-k
         if cand.size > k:
             sc = buf[cand]
             theta = np.partition(sc, cand.size - k)[cand.size - k]
-            cand = cand[sc + suffix[j] >= theta]
+            cand = cand[sc + suffix[j] >= theta - eps]
         # int64 before adding the base: cand is int32 (buffer offsets)
         # and base can exceed int32 at 10^12-doc docid ranges
         docids, contrib = st.contrib_at(
@@ -378,5 +392,6 @@ def _score_cascade(st: ShardTerms, terms, idf, avgdl, k, params, buf, seen):
         )
         if docids.size:
             buf[docids - st.base] += contrib
-    scores = _harvest(buf, seen, touched, cand)
-    return cand.astype(np.int64) + st.base, scores  # float64; caller picks the emit dtype
+    docids = cand.astype(np.int64) + st.base  # copy BEFORE the reset
+    scores = _harvest(buf, seen, store, n_cand, cand)
+    return docids, scores  # float64; caller picks the emit dtype

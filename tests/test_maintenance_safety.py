@@ -14,7 +14,7 @@ from __future__ import annotations
 import pytest
 
 from pylate_spark.config import BM25Params, IndexConfig
-from pylate_spark.plans.build import IndexPaths, build_index, load_manifest, save_manifest
+from pylate_spark.plans.build import IndexPaths, active_dir, build_index, load_manifest, save_manifest
 from pylate_spark.plans.maintenance import (
     _stage_corpus,
     add_documents,
@@ -97,7 +97,7 @@ def test_add_replay_after_crash_mid_staging(spark, tmp_path):
     # ... crash; Structured Streaming replays the epoch:
     m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#9")
     assert m["n_docs"] == 64 + 16  # exactly once, no duplicates
-    docmap = spark.read.parquet(paths.docmap)
+    docmap = spark.read.parquet(active_dir(paths, load_manifest(paths), "docmap"))
     assert docmap.count() == 80  # orphan staged rows purged, one add applied
     assert docmap.select("docid").distinct().count() == 80
 
@@ -113,7 +113,7 @@ def test_add_replay_after_crash_mid_build(spark, tmp_path):
 
     orig = M._build_one_batch
 
-    def dying(spark_, paths_, config_, batch_, spb_):
+    def dying(spark_, paths_, config_, batch_, spb_, manifest_):
         raise RuntimeError("kill")
 
     M._build_one_batch = dying

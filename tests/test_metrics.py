@@ -89,12 +89,17 @@ def test_consolidate_segments(spark, tmp_path):
     build_index(spark, spark.createDataFrame(synth_pages_pandas(200)), d, config=cfg, shards_per_batch=2)
     add_documents(spark, spark.createDataFrame(synth_pages_pandas(100, seed=9)), d, shards_per_batch=2)
     q = [(0, "the w00004"), (1, "w00001 w00002")]
+    from pylate_spark.plans.build import IndexPaths, active_dir, load_manifest
+
+    def seg_batch_dirs():
+        paths = IndexPaths(d)
+        seg = active_dir(paths, load_manifest(paths), "segments")
+        return [x for x in os.listdir(seg) if x.startswith("batch=")]
+
     before = InvertedIndex(spark, d).search(q, k=10).orderBy("query_id", "rank").collect()
-    n_dirs_before = len([x for x in os.listdir(f"{d}/segments") if x.startswith("batch=")])
-    assert n_dirs_before > 1
+    assert len(seg_batch_dirs()) > 1
     consolidate_segments(spark, d)
-    n_dirs_after = len([x for x in os.listdir(f"{d}/segments") if x.startswith("batch=")])
-    assert n_dirs_after == 1
+    assert len(seg_batch_dirs()) == 1
     after = InvertedIndex(spark, d).search(q, k=10).orderBy("query_id", "rank").collect()
     assert before == after
 
