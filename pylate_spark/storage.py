@@ -17,11 +17,14 @@ Commit protocol notes (SURVEY §1.1):
   temp object then copies over the target key), which S3 applies
   atomically per key — readers see either the old or the new manifest,
   never a torn one.
-- Directory swaps (term_stats/segments rewrite) are **not** atomic on
-  object stores — which is why they are always sequenced as
-  write-new → swap → save-manifest, and every reader opens the index
-  through the manifest. A crash mid-swap is repaired by re-running the
-  operation (all rewrites here are idempotent, sourced from staging).
+- Directory rewrites (segments/term_stats/docmap/staging) never swap
+  in place: the new data is written to a fresh *versioned* directory
+  and the manifest's pointer flips inside the same atomic commit
+  (``plans.build.active_dir``/``bump_dir``). There is no window where
+  the live directory is gone; superseded versions are garbage-collected
+  after the commit (``gc_stale_versions``) and a crash anywhere leaves
+  either the old state live or the new state live, plus sweepable
+  garbage.
 
 Reference analog: the reference stores its index as plain files under
 one root and commits chunks by file existence
@@ -76,18 +79,6 @@ def rmtree(path: str, missing_ok: bool = True) -> None:
         fs.delete_dir(p)
     else:
         fs.delete_file(p)
-
-
-def rename(src: str, dst: str) -> None:
-    """Move src over dst (dst replaced). Atomic on local FS / HDFS;
-    copy+delete on object stores — see the module commit-protocol notes
-    for why every caller still converges after a crash mid-move."""
-    fs, s = _split(src)
-    _, d = _split(dst)
-    if fs.get_file_info(d).type != pafs.FileType.NotFound:
-        # pyarrow move() does not overwrite directories portably
-        rmtree(dst)
-    fs.move(s, d)
 
 
 def listdir(path: str) -> list[str]:

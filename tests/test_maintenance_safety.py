@@ -177,3 +177,46 @@ def test_large_tombstone_set_broadcast_and_rank_identity(spark, tmp_path):
         (r["rank"], r["docid"], r["score"]) for r in want
     ]
     assert not {r["docid"] for r in got} & set(real)
+
+
+def test_versioned_swap_crash_windows(spark, tmp_path):
+    """Versioned-directory rewrites: (a) a crash AFTER the new version
+    is written but BEFORE the manifest commit leaves the old state live
+    and the new dir as sweepable garbage; (b) after a successful
+    compact, exactly one version of each state dir remains and results
+    are unchanged."""
+    from pylate_spark import storage
+    from pylate_spark.plans.build import gc_stale_versions
+    from pylate_spark.plans.maintenance import consolidate_segments
+
+    d = _build(spark, str(tmp_path / "idx"), n=128)
+    paths = IndexPaths(d)
+    want = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+
+    # (a) simulate the crash: an orphan next-version dir exists, the
+    # manifest still points at the old one — the index must open and
+    # answer from the committed state, and the next rewrite's GC sweeps
+    orphan = storage.join(d, "segments_v99")
+    storage.makedirs(orphan)
+    got = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    assert got == want
+    consolidate_segments(spark, d)  # commits a real new version + GCs
+    assert not storage.exists(orphan)
+    got = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    assert got == want
+
+    # (b) delete + compact: pointers flip, exactly one live version per
+    # logical dir, rank-identity holds for survivors
+    victim = want[-1]["docid"]
+    delete_documents(spark, d, [victim])
+    before = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    compact(spark, d)
+    manifest = load_manifest(paths)
+    gc_stale_versions(paths, manifest)
+    names = storage.listdir(d)
+    for logical in ("segments", "term_stats", "docmap", "staging"):
+        versions = [n for n in names if n == logical or n.startswith(logical + "_v")]
+        assert len(versions) == 1, (logical, versions)
+    after = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    assert after == before
+    assert victim not in {r["docid"] for r in after}
