@@ -74,17 +74,35 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band (band =
     md5 of ``band_size`` concatenated signature values). Returns
     distinct (doc_a, doc_b) with doc_a < doc_b. The pair join is on
-    band buckets, so cost scales with bucket collisions, not n²."""
+    band buckets, so cost scales with bucket collisions, not n².
+
+    ``max_bucket_size`` is the skew guard for web-scale corpora: a
+    degenerate band bucket (boilerplate pages sharing a band) turns the
+    self-join into bucket² pairs — at 10^12 docs a single million-doc
+    bucket is 10^12 pairs on its own. Buckets larger than the cap are
+    excluded from the pair join (their members are near-identical
+    boilerplate; route them to :func:`exact_dedup`, whose hash-groupBy
+    handles any group size linearly). Default None = exact semantics
+    (every bucket joined), which is what the DuckDB oracle checks."""
     sig = minhash_signatures(df, n_hashes=n_hashes, id_col=id_col, text_col=text_col)
     banded = (
         sig.withColumn("band", (F.col("h") / F.lit(band_size)).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, ["band", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -140,3 +140,17 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "payload": [b"v" * 10000]}))
     rows = multimodal.frame_sample_plan(df, every_n_bytes=4096).collect()
     assert [r["byte_offset"] for r in rows] == [0, 4096]
+
+
+def test_lsh_bucket_size_guard(spark):
+    """The web-scale skew guard: buckets over the cap are excluded from
+    the pair join (their members are boilerplate for exact_dedup);
+    uncapped semantics unchanged."""
+    rows = [(i, "identical boilerplate page text") for i in range(6)]
+    rows += [(10, "a unique document about spark"), (11, "a unique document about spark")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = dedup.lsh_candidate_pairs(df, n_hashes=4, band_size=2)
+    assert uncapped.count() == 15 + 1  # C(6,2) boilerplate + the unique pair
+    capped = dedup.lsh_candidate_pairs(df, n_hashes=4, band_size=2, max_bucket_size=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(10, 11)}  # mega-bucket suppressed, small bucket kept
