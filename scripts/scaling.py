@@ -17,6 +17,12 @@ import tempfile
 
 N_DOCS = int(os.environ.get("PYLATE_SCALE_DOCS", "200000"))
 MASTERS = os.environ.get("PYLATE_SCALE_MASTERS", "local[8],local[32]").split(",")
+#: whole-run repeats, INTERLEAVED (lo,hi,lo,hi,...) so both widths
+#: sample the same host-noise windows; per-width result = best
+#: throughput observation (the box is host-time-shared: identical runs
+#: swing ±40%, and which 5-minute window a leg lands in dominates a
+#: single comparison — see SCALING.md noise section)
+REPEATS = int(os.environ.get("PYLATE_SCALE_REPEATS", "1"))
 
 
 def run(master: str, corpus_dir: str) -> dict:
@@ -29,9 +35,22 @@ def run(master: str, corpus_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _best(a: dict, b: dict) -> dict:
+    """Per-metric best of two observations of the same configuration."""
+    out = dict(a)
+    for k in ("build_docs_per_sec", "build_postings_per_sec", "qps"):
+        out[k] = max(a[k], b[k])
+    for k in ("build_sec", "query_sec"):
+        out[k] = min(a[k], b[k])
+    return out
+
+
 def main() -> None:
     corpus_dir = os.path.join(tempfile.gettempdir(), f"pylate_scale_corpus_{N_DOCS}")
-    results = [run(m, corpus_dir) for m in MASTERS]
+    results = None
+    for _ in range(REPEATS):
+        batch = [run(m, corpus_dir) for m in MASTERS]
+        results = batch if results is None else [_best(x, y) for x, y in zip(results, batch)]
     lo, hi = results
     factor = hi["cores"] / lo["cores"]
     summary = {
