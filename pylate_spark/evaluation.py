@@ -56,16 +56,22 @@ def evaluate(
     """Per-query metrics table (query_id, ndcg, hits, recall) for a
     ranked ``(query_id, rank, docid, score)`` results DataFrame.
 
-    ``results``/``qrels`` are cached for the duration of the plan: the
-    three metric pipelines each reference them, and Spark re-executes
-    self-joined lineages — without the cache an index-backed results
-    DataFrame would run the whole scatter-gather search three times."""
+    ``results``/``qrels`` are cached while the three metric pipelines
+    run (Spark re-executes self-joined lineages — without the cache an
+    index-backed results DataFrame would run the whole scatter-gather
+    search three times), then the tiny joined metrics table is eagerly
+    localCheckpoint-ed and the caches released, so repeated evaluations
+    in one session do not accumulate dead cached search results."""
     results = results.cache()
     qrels = qrels.cache()
     nd = ndcg_at_k(results, qrels, k=k)
     h = hits_at_k(results, qrels, k=k)
     r = recall_at_k(results, qrels, k=k)
-    return nd.join(h, "query_id", "full").join(r, "query_id", "full")
+    out = nd.join(h, "query_id", "full").join(r, "query_id", "full")
+    out = out.localCheckpoint(eager=True)  # one row per query — tiny
+    results.unpersist(blocking=False)
+    qrels.unpersist(blocking=False)
+    return out
 
 
 def evaluate_index(

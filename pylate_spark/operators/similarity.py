@@ -141,9 +141,12 @@ def ivf_topk(
     if n_probe > 1:
         # XOR masks in increasing Hamming weight: 0, then single-bit
         # flips, then double-bit flips ... truncated at n_probe buckets.
-        # Generated lazily by weight (combinations over bit positions) —
-        # enumerating all 2^n_planes ids would hang at realistic plane
-        # counts (n_planes=24 → 16M ids for a handful of probes)
+        # Within a weight the order is bit-position lexicographic (the
+        # combinations() order) — any deterministic order is valid; it
+        # only matters for n_probe values that truncate mid-weight.
+        # Generated lazily by weight — enumerating all 2^n_planes ids
+        # would hang at realistic plane counts (n_planes=24 → 16M ids
+        # for a handful of probes)
         from itertools import combinations
 
         masks = []

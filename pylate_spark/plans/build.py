@@ -83,7 +83,7 @@ class IndexPaths:
 
 
 #: logical state directories whose rewrites are versioned
-_VERSIONED = ("segments", "term_stats", "docmap", "staging")
+_VERSIONED = ("segments", "term_stats", "docmap", "staging", "tombstones")
 
 
 def active_dir(paths: IndexPaths, manifest: dict, name: str) -> str:
@@ -271,9 +271,10 @@ def _tombstone_deltas(spark: SparkSession, paths: IndexPaths, manifest: dict):
     """(per-term df/cf deltas DF, n_deleted_tokenized, deleted sum_dl)
     for all tombstoned docids, recomputed exactly from staged text.
     Returns (None, 0, 0) when there are no tombstones."""
-    if not storage.exists(paths.tombstones):
+    tomb_dir = active_dir(paths, manifest, "tombstones")
+    if not storage.exists(tomb_dir):
         return None, 0, 0
-    tomb = spark.read.parquet(paths.tombstones).distinct()
+    tomb = spark.read.parquet(tomb_dir).distinct()
     staged = spark.read.parquet(active_dir(paths, manifest, "staging"))
     deleted = staged.join(F.broadcast(tomb), "docid", "inner")
     from pylate_spark.functions.tokenize import terms_long as _tl

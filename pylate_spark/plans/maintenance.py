@@ -222,7 +222,16 @@ def resume_add(
 
 
 def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> dict:
-    """Tombstone-delete docids with exact stats adjustment."""
+    """Tombstone-delete docids with exact stats adjustment.
+
+    The delete is ONE atomic commit: the new tombstone set and the
+    adjusted term_stats are written as fresh versioned dirs, and both
+    pointer flips land in the same manifest write as the corpus-stats
+    update. A crash anywhere before that write leaves the old state
+    fully live — a retry redoes the whole delete cleanly (an append-
+    then-crash protocol would instead make the retry a silent no-op via
+    the double-delete guard, permanently desynchronizing stats from the
+    tombstone filter)."""
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
     if not manifest.get("finalized"):
@@ -230,13 +239,18 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     manifest = _repair_pending_add(paths, manifest)
 
     ids_df = spark.createDataFrame([(int(d),) for d in docids], "docid long").distinct()
-    if storage.exists(paths.tombstones):
+    tomb_dir = active_dir(paths, manifest, "tombstones")
+    old_tomb = spark.read.parquet(tomb_dir) if storage.exists(tomb_dir) else None
+    if old_tomb is not None:
         # idempotent: ignore ids already tombstoned (double-delete guard)
-        ids_df = ids_df.join(spark.read.parquet(paths.tombstones), "docid", "left_anti")
+        ids_df = ids_df.join(old_tomb, "docid", "left_anti")
     ids_df = ids_df.cache()
     if ids_df.count() == 0:
         return manifest
-    ids_df.write.mode("append").parquet(paths.tombstones)
+    new_tomb = old_tomb.unionByName(ids_df) if old_tomb is not None else ids_df
+    new_tomb.write.mode("overwrite").parquet(
+        storage.join(paths.root, bump_dir(manifest, "tombstones"))
+    )
 
     # exact per-term df/cf deltas from the deleted docs' staged text
     staged = spark.read.parquet(active_dir(paths, manifest, "staging"))
@@ -290,10 +304,11 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     manifest = load_manifest(paths)
     config = IndexConfig.from_dict(manifest["config"])
     manifest = _repair_pending_add(paths, manifest)
-    if not storage.exists(paths.tombstones):
+    tomb_dir = active_dir(paths, manifest, "tombstones")
+    if not storage.exists(tomb_dir):
         return manifest
     tomb = np.sort(
-        spark.read.parquet(paths.tombstones).toPandas()["docid"].to_numpy(np.int64)
+        spark.read.parquet(tomb_dir).toPandas()["docid"].to_numpy(np.int64)
     )
     if tomb.size == 0:
         return manifest
@@ -366,7 +381,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # purge staging too, and re-derive per-batch doc stats, so a later
     # re-finalize (e.g. after add_documents) doesn't resurrect deleted
     # docs' contribution to N/avgdl
-    tomb_df = spark.read.parquet(paths.tombstones).distinct()
+    tomb_df = spark.read.parquet(tomb_dir).distinct()
     # resolve the CURRENT staging dir before bumping its pointer
     staged = spark.read.parquet(active_dir(paths, manifest, "staging")).join(
         F.broadcast(tomb_df), "docid", "left_anti"
@@ -395,7 +410,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     save_manifest(paths, manifest)  # commit point: both dir flips live
     # tombstones are cleared only after the flips are durable; a crash
     # in between re-runs compact as a no-op filter and converges
-    storage.rmtree(paths.tombstones)
+    storage.rmtree(tomb_dir)
     gc_stale_versions(paths, manifest)
     manifest = _finalize(spark, paths, config, manifest)
     # per-batch n_postings/bytes are stale after the rewrite (postings

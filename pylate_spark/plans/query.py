@@ -167,7 +167,7 @@ class InvertedIndex:
     def _load_tombstones(self) -> np.ndarray | None:
         from pylate_spark import storage
 
-        p = self.paths.tombstones
+        p = active_dir(self.paths, self.manifest, "tombstones")
         if storage.exists(p):
             pdf = self.spark.read.parquet(p).toPandas()
             if len(pdf):

@@ -22,7 +22,7 @@ MASTERS = os.environ.get("PYLATE_SCALE_MASTERS", "local[8],local[32]").split(","
 #: throughput observation (the box is host-time-shared: identical runs
 #: swing ±40%, and which 5-minute window a leg lands in dominates a
 #: single comparison — see SCALING.md noise section)
-REPEATS = int(os.environ.get("PYLATE_SCALE_REPEATS", "1"))
+REPEATS = max(1, int(os.environ.get("PYLATE_SCALE_REPEATS", "1")))
 
 
 def run(master: str, corpus_dir: str) -> dict:
@@ -36,25 +36,26 @@ def run(master: str, corpus_dir: str) -> dict:
 
 
 def _best(a: dict, b: dict) -> dict:
-    """Per-metric best of two observations of the same configuration."""
-    out = dict(a)
-    for k in ("build_docs_per_sec", "build_postings_per_sec", "qps"):
-        out[k] = max(a[k], b[k])
-    for k in ("build_sec", "query_sec"):
-        out[k] = min(a[k], b[k])
-    return out
+    """The better WHOLE observation of a configuration (by query qps,
+    the headline metric) — records stay internally consistent
+    (qps == n_queries/query_sec within one record); all raw runs are
+    published alongside in ``all_runs``."""
+    return a if a["qps"] >= b["qps"] else b
 
 
 def main() -> None:
     corpus_dir = os.path.join(tempfile.gettempdir(), f"pylate_scale_corpus_{N_DOCS}")
     results = None
+    all_runs: list[dict] = []
     for _ in range(REPEATS):
         batch = [run(m, corpus_dir) for m in MASTERS]
+        all_runs.extend(batch)
         results = batch if results is None else [_best(x, y) for x, y in zip(results, batch)]
     lo, hi = results
     factor = hi["cores"] / lo["cores"]
     summary = {
-        "runs": results,
+        "runs": results,          # best-by-qps whole observation per width
+        "all_runs": all_runs,     # every raw observation, in order
         "build_scaling_efficiency": round(
             hi["build_docs_per_sec"] / (factor * lo["build_docs_per_sec"]), 3
         ),

@@ -167,8 +167,9 @@ def test_large_tombstone_set_broadcast_and_rank_identity(spark, tmp_path):
 
     # append 150k never-matching tombstones directly (docids >= corpus)
     big = pd.DataFrame({"docid": np.arange(1_000_000, 1_150_000, dtype=np.int64)})
+    paths = IndexPaths(d)
     spark.createDataFrame(big).write.mode("append").parquet(
-        IndexPaths(d).tombstones
+        active_dir(paths, load_manifest(paths), "tombstones")
     )
     idx = InvertedIndex(spark, d)
     assert idx._tomb_bc is not None and idx._tomb_bc.value.size == 150_000 + len(real)
@@ -220,3 +221,40 @@ def test_versioned_swap_crash_windows(spark, tmp_path):
     after = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
     assert after == before
     assert victim not in {r["docid"] for r in after}
+
+
+def test_delete_crash_before_commit_leaves_index_intact(spark, tmp_path):
+    """delete_documents is one atomic commit: if it dies before the
+    manifest write (after the new tombstone/term_stats versions were
+    written), the index is untouched — and the RETRY actually deletes
+    (an append-based protocol made the retry a silent no-op)."""
+    import pylate_spark.plans.maintenance as M
+
+    d = _build(spark, str(tmp_path / "idx"), n=128)
+    want = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    victim = want[0]["docid"]
+    n_docs_before = load_manifest(IndexPaths(d))["n_docs"]
+
+    orig = M.save_manifest
+
+    def dying(paths_, manifest_):
+        raise RuntimeError("kill before commit")
+
+    M.save_manifest = dying
+    try:
+        with pytest.raises(RuntimeError):
+            delete_documents(spark, d, [victim])
+    finally:
+        M.save_manifest = orig
+
+    # crash window: nothing visible changed
+    m = load_manifest(IndexPaths(d))
+    assert m["n_docs"] == n_docs_before
+    got = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    assert got == want
+
+    # retry is NOT a no-op: the doc goes away with exact stats
+    m = delete_documents(spark, d, [victim])
+    assert m["n_docs"] == n_docs_before - 1
+    got = InvertedIndex(spark, d).search([(0, "the w00004")], k=10).collect()
+    assert victim not in {r["docid"] for r in got}
