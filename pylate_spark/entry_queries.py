@@ -43,11 +43,15 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pylate_spark.sources.reader import read_table
+
+    return read_table(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pylate_spark.sources.reader import read_table
+
+    return read_table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _queryset_df(spark: SparkSession) -> DataFrame:

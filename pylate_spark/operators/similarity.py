@@ -206,9 +206,20 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs via LSH bucket
-    self-join + exact cosine filter. Returns (vec_a, vec_b, cos_sim)."""
+    self-join + exact cosine filter. Returns (vec_a, vec_b, cos_sim).
+
+    ``max_bucket_size`` is the same skew guard as
+    :func:`pylate_spark.operators.dedup.lsh_candidate_pairs`: a
+    degenerate LSH bucket (e.g. a near-zero boilerplate embedding
+    cluster at web scale) turns the self-join into bucket² pairs.
+    Buckets larger than the cap are excluded from the pair join — their
+    members are near-identical by construction; route them to
+    :func:`pylate_spark.operators.dedup.exact_dedup` on a vector hash,
+    which handles any group size linearly. Default None = exact
+    semantics (every bucket joined), which the DuckDB oracle checks."""
     planes = _hyperplanes(dim, n_planes, seed=seed)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -216,6 +227,14 @@ def embedding_near_dup_pairs(
         _norm(F.col(vec_col)).alias("nv"),
         bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        small = (
+            e.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        e = e.join(small, "bucket", "left_semi")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))

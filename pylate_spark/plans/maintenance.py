@@ -28,10 +28,11 @@ Idempotence / replay contract (used by streaming ingest):
 - every add is bracketed by manifest commits: a ``pending_add`` marker
   is written *before* staging (so a crash mid-staging is detected and
   the partial batch dirs purged on the next attempt), and the
-  ``epoch_key`` (if any) is recorded in ``applied_epochs`` in the same
-  atomic manifest write that commits the staged rows — so a replayed
-  epoch either finds its key (skip) or finds no trace of its rows
-  (safe to redo). See :mod:`pylate_spark.streaming.ingest`.
+  ``epoch_key`` (if any) is recorded (streaming keys as max applied
+  epoch per checkpoint dir, arbitrary keys in ``applied_epochs``) in
+  the same atomic manifest write that commits the staged rows — so a
+  replayed epoch either finds its key (skip) or finds no trace of its
+  rows (safe to redo). See :mod:`pylate_spark.streaming.ingest`.
 """
 
 from __future__ import annotations
@@ -90,6 +91,42 @@ def _purge_staged_batches(staging_dir: str, first_batch: int) -> None:
             storage.rmtree(storage.join(staging_dir, name))
 
 
+def _epoch_parts(epoch_key: str) -> tuple[str, int] | None:
+    """Split a streaming epoch key ``"{checkpoint_dir}#{epoch_id}"``
+    into (stream id, epoch number); None for arbitrary caller keys."""
+    sid, sep, e = epoch_key.rpartition("#")
+    if sep and e.lstrip("-").isdigit():
+        return sid, int(e)
+    return None
+
+
+def _epoch_applied(manifest: dict, epoch_key: str) -> bool:
+    parts = _epoch_parts(epoch_key)
+    if parts is not None and parts[1] <= int(
+        manifest.get("applied_epoch_max", {}).get(parts[0], -1)
+    ):
+        return True
+    # legacy list (and arbitrary non-numeric caller keys)
+    return epoch_key in manifest.get("applied_epochs", [])
+
+
+def _record_epoch(manifest: dict, epoch_key: str) -> None:
+    """Record an applied epoch with O(#streams) manifest growth.
+
+    Structured Streaming epoch ids are monotonic per checkpoint dir and
+    commit in order through the foreachBatch sink, so the max applied
+    epoch per stream fully encodes the applied set — the manifest no
+    longer accretes one list entry per micro-batch (O(n²) rewrite churn
+    over a long-running stream). Arbitrary caller keys (no trailing
+    ``#<int>``) can't be safely evicted and keep exact list semantics."""
+    parts = _epoch_parts(epoch_key)
+    if parts is not None:
+        m = manifest.setdefault("applied_epoch_max", {})
+        m[parts[0]] = max(int(m.get(parts[0], -1)), parts[1])
+    else:
+        manifest.setdefault("applied_epochs", []).append(epoch_key)
+
+
 def _repair_pending_add(paths: IndexPaths, manifest: dict) -> dict:
     """If a previous add crashed between its pending_add marker and the
     staging commit, its orphan staged rows were never indexed — purge
@@ -140,7 +177,7 @@ def add_documents(
             "index has an incomplete add in progress; call "
             "resume_add(spark, index_dir) to finish it, then retry"
         )
-    if epoch_key is not None and epoch_key in manifest.get("applied_epochs", []):
+    if epoch_key is not None and _epoch_applied(manifest, epoch_key):
         return manifest  # replayed epoch whose rows already committed
     config = IndexConfig.from_dict(manifest["config"])
     spb = _persisted_spb(manifest, shards_per_batch)
@@ -179,7 +216,7 @@ def add_documents(
     if epoch_key is not None:
         # recorded in the SAME atomic write that commits the staged rows:
         # a replay after this point skips; before it, finds purged rows
-        manifest.setdefault("applied_epochs", []).append(epoch_key)
+        _record_epoch(manifest, epoch_key)
     manifest.setdefault("lineage", []).append(
         {"stage": "add_documents", "at": _now(),
          "docid_base": docid_base, "epoch_key": epoch_key}
@@ -246,6 +283,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
         ids_df = ids_df.join(old_tomb, "docid", "left_anti")
     ids_df = ids_df.cache()
     if ids_df.count() == 0:
+        ids_df.unpersist(blocking=False)
         return manifest
     new_tomb = old_tomb.unionByName(ids_df) if old_tomb is not None else ids_df
     new_tomb.write.mode("overwrite").parquet(
@@ -289,6 +327,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     )
     save_manifest(paths, manifest)
     gc_stale_versions(paths, manifest)
+    ids_df.unpersist(blocking=False)
     return manifest
 
 
@@ -408,9 +447,6 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         {"stage": "compact", "at": _now(), "n_tombstones_purged": int(tomb.size)}
     )
     save_manifest(paths, manifest)  # commit point: both dir flips live
-    # tombstones are cleared only after the flips are durable; a crash
-    # in between re-runs compact as a no-op filter and converges
-    storage.rmtree(tomb_dir)
     gc_stale_versions(paths, manifest)
     manifest = _finalize(spark, paths, config, manifest)
     # per-batch n_postings/bytes are stale after the rewrite (postings
@@ -424,6 +460,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     manifest["n_postings"] = int(m["p"] or 0)
     manifest["bytes"] = int(m["b"] or 0)
     save_manifest(paths, manifest)
+    # tombstones are cleared LAST — only after the dir flips, _finalize
+    # (docmap/stats rebuild) and the metrics refresh are all durable. A
+    # crash anywhere before this line leaves the tombstone set intact,
+    # so a re-run redoes the whole compact (as a no-op posting filter)
+    # and converges; clearing earlier would make the re-run early-return
+    # at the tombstone check with docmap/metrics still stale.
+    storage.rmtree(tomb_dir)
     tomb_bc.unpersist(blocking=False)
     return manifest
 

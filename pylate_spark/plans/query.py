@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pylate_spark.config import BM25Params, IndexConfig
-from pylate_spark.functions.bm25 import bm25_score_col
+from pylate_spark.functions.bm25 import bm25_score_col, idf_np
 from pylate_spark.functions.tokenize import terms_long, tokenize_py, tokenize_udf
 from pylate_spark.plans.build import IndexPaths, active_dir, load_manifest
 from pylate_spark.plans.wand import score_shard
@@ -60,10 +60,38 @@ def _ranked_schema(round_to: int | None) -> str:
 #: rewrite in index_updater.py:414-460)
 TOMBSTONE_COMPACT_ADVICE = 1_000_000
 
+#: subset allow-lists above this size are shipped to executors via a
+#: broadcast instead of riding the task closure (see search())
+SUBSET_BROADCAST_THRESHOLD = 4096
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Global top-k merge: score desc, docid asc tie-break."""
+#: partial-merge fan-in for the indexed search path: per-shard top-k
+#: rows are reduced to ≤ k per (query, docid-mod-group) in parallel
+#: before the final per-query window, so one query's final merge never
+#: sees more than TOPK_MERGE_GROUPS·k rows (at the 10^6-shard design
+#: point a stopword query would otherwise funnel shards·k ≈ 10^7 rows
+#: into a single reducer — the analog of the reference's flat final
+#: sort, index_storage.py:121-127, which is single-node by design)
+TOPK_MERGE_GROUPS = 64
+
+
+def _rank_topk(scored: DataFrame, k: int, n_groups: int | None = None) -> DataFrame:
+    """Global top-k merge: score desc, docid asc tie-break.
+
+    With ``n_groups`` set, a two-level merge: first keep the top-k per
+    (query_id, docid % n_groups) — parallel reducers, each seeing a
+    1/n_groups slice — then the final per-query window ranks at most
+    n_groups·k survivors. Exact for any grouping: the global top-k is a
+    subset of the union of per-group top-k's, and both levels order by
+    the same (score desc, docid asc) key."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    if n_groups is not None:
+        wp = Window.partitionBy("query_id", "mgrp").orderBy(F.desc("score"), F.asc("docid"))
+        scored = (
+            scored.withColumn("mgrp", F.pmod(F.col("docid"), F.lit(n_groups)))
+            .withColumn("prank", F.row_number().over(wp))
+            .where(F.col("prank") <= k)
+            .drop("mgrp", "prank")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -134,9 +162,15 @@ class InvertedIndex:
             from pylate_spark.functions.codec import decode_postings
             from pylate_spark.plans.segments import blocks_from_row
 
+            cols = ("term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off")
             for pdf in batches:
                 out_d, out_t, out_tf, out_dl = [], [], [], []
-                for _, row in pdf.iterrows():
+                # column-array extraction, not iterrows (same pattern as
+                # plans/wand.ShardTerms): pandas builds a Series per row
+                # under iterrows, which dominated decode time
+                arrs = {c: pdf[c].to_numpy(object) for c in cols}
+                for i in range(len(pdf)):
+                    row = {c: arrs[c][i] for c in cols}
                     b = blocks_from_row(row)
                     lo = np.searchsorted(ids, b.first, side="left")
                     hi = np.searchsorted(ids, b.last, side="right")
@@ -217,7 +251,7 @@ class InvertedIndex:
                 self._df_cache[t] = found.get(t)  # None = not in vocabulary
         n, params = self.n_docs, self.config.bm25
         idf = {
-            t: float(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
+            t: float(idf_np(df, n))
             for t in all_terms
             if (df := self._df_cache.get(t)) is not None
         }
@@ -228,6 +262,14 @@ class InvertedIndex:
 
         tomb_bc = self._tomb_bc
         allowed = np.sort(np.asarray(subset, dtype=np.int64)) if subset is not None else None
+        # large allow-lists ride a broadcast (shipped to each executor
+        # once), not the task closure (re-pickled into EVERY task — at
+        # 10^8 subset ids that's GBs of repeated driver→task traffic).
+        # Small subsets stay in the closure: a per-call broadcast has
+        # its own driver round-trip and lingers until unpersisted.
+        allowed_bc = None
+        if allowed is not None and allowed.size > SUBSET_BROADCAST_THRESHOLD:
+            allowed_bc, allowed = self.spark.sparkContext.broadcast(allowed), None
         avgdl, kk, md, rt = self.avgdl, k, mode, round_to
         ssz = self.config.shard_size  # dense-accumulator extent per kernel
 
@@ -241,11 +283,12 @@ class InvertedIndex:
             return score_shard(
                 pdf, qmap, idf, avgdl, kk, params, mode=md,
                 tombstones=tomb_bc.value if tomb_bc is not None else None,
-                allowed=allowed, round_to=rt, shard_size=ssz,
+                allowed=allowed_bc.value if allowed_bc is not None else allowed,
+                round_to=rt, shard_size=ssz,
             )
 
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
-        return _rank_topk(scored, k)
+        return _rank_topk(scored, k, n_groups=TOPK_MERGE_GROUPS)
 
 
 def bm25_scan_topk(
@@ -311,4 +354,4 @@ def bm25_scan_topk(
         scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
     else:
         scored = scored.withColumn("score", F.col("score_d").cast("float"))
-    return _rank_topk(scored.drop("score_d"), k)
+    return _rank_topk(scored.drop("score_d"), k, n_groups=TOPK_MERGE_GROUPS)

@@ -217,6 +217,12 @@ def score_shard(
 ) -> pd.DataFrame:
     """Score all queries against one shard's matched segment rows.
 
+    ``tombstones`` and ``allowed`` MUST be SORTED ascending int64
+    arrays — filtering uses binary search (:func:`_in_sorted`), and an
+    unsorted array silently filters wrong. The library callers
+    (``plans/query.InvertedIndex.search``/``doc_vectors``) sort before
+    passing; direct callers must do the same.
+
     Returns per-shard top-k rows (query_id, docid, score). The score is
     float32 by default; with ``round_to`` set it is float64 rounded to
     that many decimals *before* top-k selection, so boundary ties

@@ -28,6 +28,17 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # local-cluster[W,C,M]: W separate executor JVMs × C cores, M MB
+    # worker memory each — the in-sandbox stand-in for a real
+    # multi-executor cluster (own BlockManager/shuffle/python workers
+    # per executor), used by the N-vs-4N scaling evidence
+    cluster_conf: dict[str, str] = {}
+    if master.startswith("local-cluster["):
+        w, c, m = (int(x) for x in master[14:-1].split(","))
+        if shuffle_partitions is None:
+            shuffle_partitions = max(w * c, 4)
+        cluster_conf["spark.executor.memory"] = f"{m}m"
+        cluster_conf["spark.executor.cores"] = str(c)
     if shuffle_partitions is None:
         if master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = max(int(master[6:-1]), 4)
@@ -54,7 +65,7 @@ def get_spark(
     # single-box artifact (not applied when a cluster manager is used)
     if master.startswith("local") and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/pylate-spark-tmp")
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**cluster_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,8 +38,10 @@ def stream_index_updates(
     Kafka source after parsing.
 
     Exactly-once under epoch replay: the sink is idempotent per
-    ``epoch_id``. Each add records ``"{checkpoint_dir}#{epoch_id}"`` in
-    the manifest's ``applied_epochs`` in the same atomic write that
+    ``epoch_id``. Each add records ``"{checkpoint_dir}#{epoch_id}"`` as
+    the manifest's max applied epoch for this checkpoint (epoch ids are
+    monotonic per checkpoint and commit in order, so one integer per
+    stream encodes the applied set) in the same atomic write that
     commits the staged rows, so a replayed epoch is skipped; an epoch
     whose previous attempt crashed mid-staging leaves a ``pending_add``
     marker and its partial rows are purged before the redo; an attempt

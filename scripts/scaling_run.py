@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -30,7 +31,21 @@ def main(master: str, n_docs: int, corpus_dir: str) -> None:
     from pylate_spark.sources.synth import synth_pages, synth_queries_pandas
 
     spark = get_spark(app_name=f"scaling_{master}", master=master)
-    cores = spark.sparkContext.defaultParallelism
+    if master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own python workers, which
+        # don't inherit the driver's sys.path — ship the package the
+        # way a real cluster run does (spark-submit --py-files analog)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(["sh", os.path.join(repo, "scripts", "make_pyfiles.sh")],
+                       check=True, capture_output=True)
+        spark.sparkContext.addPyFile(os.path.join(repo, "pylate_spark.zip"))
+    if master.startswith("local-cluster["):
+        # defaultParallelism is sampled before executors register in
+        # standalone mode — derive total cores from the topology instead
+        w, c, _ = (int(x) for x in master[14:-1].split(","))
+        cores = w * c
+    else:
+        cores = spark.sparkContext.defaultParallelism
 
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synth_pages(spark, n_docs).write.mode("overwrite").parquet(corpus_dir)

@@ -59,6 +59,40 @@ def test_postings_roundtrip(n):
     assert blocks.min_dl.min() == dls.min()
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    docid_steps=st.lists(st.integers(min_value=1, max_value=2**40), min_size=1, max_size=300),
+    tf_seed=st.integers(min_value=0, max_value=2**31),
+    block_size=st.sampled_from([1, 2, 64, 128, 1024]),
+    base=st.sampled_from([0, 1, 2**31 - 1, 2**31, 10**12]),
+)
+def test_postings_roundtrip_property(docid_steps, tf_seed, block_size, base):
+    """Property form of the round-trip: ANY strictly-increasing int64
+    docid sequence (including gaps past 2^31 and bases past int32 — the
+    class of bug the round-2 overflow fix caught once), any tf/dl, any
+    block size must round-trip exactly, with valid block metadata."""
+    docids = base + np.cumsum(np.asarray(docid_steps, dtype=np.int64))
+    rng = np.random.Generator(np.random.Philox(key=tf_seed, counter=0))
+    n = docids.size
+    tfs = rng.integers(1, 1000, size=n).astype(np.int64)
+    dls = rng.integers(1, 5000, size=n).astype(np.int64)
+    payload, blocks = encode_postings(docids, tfs, dls, block_size=block_size)
+    d, t, l = decode_postings(payload, blocks)
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(t, tfs)
+    np.testing.assert_array_equal(l, dls)
+    assert blocks.n.sum() == n
+    assert blocks.first[0] == docids[0] and blocks.last[-1] == docids[-1]
+    # per-block bounds are true bounds (the pruning-soundness inputs)
+    off = 0
+    for i in range(blocks.n.size):
+        m = int(blocks.n[i])
+        assert blocks.max_tf[i] == tfs[off:off + m].max()
+        assert blocks.min_dl[i] == dls[off:off + m].min()
+        assert blocks.first[i] == docids[off] and blocks.last[i] == docids[off + m - 1]
+        off += m
+
+
 def test_selective_block_decode():
     docids, tfs, dls = _random_postings(1000, seed=3)
     payload, blocks = encode_postings(docids, tfs, dls, block_size=128)

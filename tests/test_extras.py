@@ -154,3 +154,31 @@ def test_lsh_bucket_size_guard(spark):
     capped = dedup.lsh_candidate_pairs(df, n_hashes=4, band_size=2, max_bucket_size=3)
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert got == {(10, 11)}  # mega-bucket suppressed, small bucket kept
+
+
+def test_embedding_near_dup_bucket_guard(spark):
+    """Same skew guard on the embedding-LSH self-join: a degenerate
+    bucket (here 8 identical vectors — bucket² pairs at web scale) is
+    excluded when over the cap; small buckets are unaffected; default
+    (None) keeps exact semantics."""
+    rng = np.random.Generator(np.random.Philox(key=3, counter=0))
+    mega = rng.normal(size=16).astype(np.float32)
+    other = rng.normal(size=16).astype(np.float32)
+    vecs = [mega.tolist()] * 8  # ids 0..7: one degenerate bucket
+    vecs += [other.tolist(), (other + 0.001).tolist()]  # ids 8,9: near-dup pair
+    pdf = pd.DataFrame({"vec_id": range(10), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df, min_cos=0.99, n_planes=4, dim=16
+        ).collect()
+    }
+    assert (8, 9) in uncapped and (0, 1) in uncapped and len(uncapped) == 28 + 1
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            df, min_cos=0.99, n_planes=4, dim=16, max_bucket_size=4
+        ).collect()
+    }
+    assert capped == {(8, 9)}

@@ -77,7 +77,10 @@ def test_add_epoch_replay_is_noop(spark, tmp_path):
     assert m1["n_docs"] == 80
     m2 = add_documents(spark, extra, d, epoch_key="ckpt#1")  # replay
     assert m2["n_docs"] == 80
-    assert "ckpt#1" in m2["applied_epochs"]
+    # streaming epoch keys are recorded as max-epoch-per-stream (bounded
+    # manifest growth), not one list entry per micro-batch
+    assert m2["applied_epoch_max"]["ckpt"] == 1
+    assert "ckpt#1" not in m2.get("applied_epochs", [])
 
 
 def test_add_replay_after_crash_mid_staging(spark, tmp_path):
@@ -128,7 +131,7 @@ def test_add_replay_after_crash_mid_build(spark, tmp_path):
     resume_add(spark, d)
     m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2")
     assert m["n_docs"] == 64 + 16
-    assert m["applied_epochs"].count("ckpt#2") == 1
+    assert m["applied_epoch_max"]["ckpt"] == 2
 
 
 def test_index_lifecycle_on_uri_path(spark, tmp_path):

@@ -89,6 +89,24 @@ def test_subset_filter(spark, built_index, pages_t2_pdf, queries_pdf):
     assert_rank_identical(got, want)
 
 
+def test_subset_filter_large_broadcast(spark, built_index, pages_t2_pdf, queries_pdf):
+    """A large allow-list (> SUBSET_BROADCAST_THRESHOLD) takes the
+    broadcast path instead of riding every task closure; results must be
+    rank-identical to the small-list closure path. The list is padded
+    with nonexistent docids so its *semantics* equal the small list."""
+    from pylate_spark.plans.query import SUBSET_BROADCAST_THRESHOLD
+
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    allowed = list(range(0, len(pages_t2_pdf), 3))
+    pad_base = 10_000_000  # far past any real docid
+    big = allowed + list(range(pad_base, pad_base + SUBSET_BROADCAST_THRESHOLD + 5000))
+    qs = list(zip(queries_pdf["query_id"].tolist()[:10], queries_pdf["text"].tolist()[:10]))
+    got = _collect_ranked(idx.search(qs, k=K, subset=big))
+    want, _ = _oracle_results(pages_t2_pdf, queries_pdf.iloc[:10], k=K, allowed=set(allowed))
+    assert_rank_identical(got, want)
+
+
 def test_scan_topk_matches_oracle(spark, pages_t2, pages_t2_pdf, queries_pdf):
     """Index-free declarative path (pure DataFrame ops)."""
     from pylate_spark.operators.docids import assign_docids
