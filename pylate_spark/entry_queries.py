@@ -355,6 +355,51 @@ FROM bands a JOIN bands b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs → connected components → duplicate clusters:
+    the keep-one-per-group step after candidate generation."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    return dedup.dedup_clusters(pairs, docs=docs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE terms AS (
+  SELECT DISTINCT doc_id, unnest({TOKEN_SQL}) AS term FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         min(md5(term || '#0')) AS mh0, min(md5(term || '#1')) AS mh1,
+         min(md5(term || '#2')) AS mh2, min(md5(term || '#3')) AS mh3
+  FROM terms GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(least(mh0, mh1) || '|' || greatest(mh0, mh1)) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         md5(least(mh2, mh3) || '|' || greatest(mh2, mh3)) AS band_hash FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS t
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id != b.doc_id
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t WHERE e.t != r.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 SIMHASH_BITS = 32
 
 
@@ -770,6 +815,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "minhash_signatures": (q_minhash, SQL_MINHASH),
         "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+        "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         "simhash": (q_simhash, SQL_SIMHASH),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

@@ -117,6 +117,77 @@ def lsh_candidate_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate candidate pairs → duplicate
+    clusters: (doc_id, cluster_id, keep) where ``cluster_id`` is the
+    minimum doc id reachable through the pair graph and ``keep`` marks
+    the canonical survivor (the cluster's own minimum). This is the
+    step after :func:`lsh_candidate_pairs`/:func:`ngram_jaccard_pairs`
+    in a training-data pipeline: pairs say "these two collide", clusters
+    say "keep one of these forty".
+
+    Algorithm: distributed min-label propagation with path compression —
+    per iteration every vertex takes the min of (its label, its
+    neighbors' labels, its label's label). The extra label-of-label hop
+    is pointer doubling, so convergence is O(log diameter) iterations,
+    each a pair of shuffles on (vertex) — no per-row Python, no driver
+    materialization of the graph (only a per-iteration convergence
+    *count* reaches the driver, the standard iterative-algorithm shape).
+    ``docs`` (optional) adds isolated vertices as singleton clusters.
+
+    Deduplicate the pair list first if it can contain both (a,b) and
+    (b,a); edges here are symmetrized internally.
+    """
+    e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    edges = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).distinct()
+    edges = edges.localCheckpoint(eager=True)  # cut lineage once, reused every iter
+    verts = edges.select(F.col("s").alias("v")).distinct()
+    if docs is not None:
+        verts = verts.unionByName(docs.select(F.col(id_col).alias("v"))).distinct()
+    labels = verts.select("v", F.col("v").alias("lbl"))
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels.withColumnRenamed("v", "t"), "t")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("s", "v")
+        )
+        # pointer doubling: label's current label
+        l2 = labels.select(F.col("v").alias("lbl"), F.col("lbl").alias("llbl"))
+        new = (
+            labels.join(nmin, "v", "left")
+            .join(l2, "lbl", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nlbl"), F.col("lbl")),
+                    F.coalesce(F.col("llbl"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)  # iterative plan would grow unboundedly
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "v")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("v") == F.col("lbl")).alias("keep"),
+    )
+
+
 def simhash(
     df: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -33,6 +33,7 @@ append, fan-in recorded per term).
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass
 
@@ -98,33 +99,78 @@ def active_dir(paths: IndexPaths, manifest: dict, name: str) -> str:
     return storage.join(paths.root, manifest.get("dirs", {}).get(name, name))
 
 
+#: snapshot-retention window for superseded version dirs, seconds. 0 =
+#: GC immediately after the commit that retired them (single-writer,
+#: re-open-after-mutation discipline — fine for tests and batch jobs).
+#: On a cluster with concurrent readers, set this LONGER than the
+#: longest-running query: a reader that resolved active_dir pointers
+#: before a rewrite keeps reading its (immutable) snapshot dirs until
+#: the window expires — Iceberg's expire_snapshots(retention) model.
+GC_RETAIN_SECONDS = float(os.environ.get("PYLATE_GC_RETAIN_S", "0"))
+
+
 def bump_dir(manifest: dict, name: str) -> str:
     """Allocate the next version name for a logical dir and point the
     (in-memory) manifest at it. The caller writes the new data there,
     then commits via save_manifest — a crash in between leaves the old
-    version active and the new dir as garbage for the next GC."""
+    version active and the new dir as garbage for the next GC. The
+    outgoing version is stamped into ``manifest["retired"]`` so the GC
+    retention clock starts at this rewrite's commit."""
     cur = manifest.get("dirs", {}).get(name, name)
     tail = cur.rsplit("_v", 1)
     v = int(tail[1]) + 1 if len(tail) == 2 and tail[1].isdigit() else 1
     nxt = f"{name}_v{v}"
     manifest.setdefault("dirs", {})[name] = nxt
+    manifest.setdefault("retired", {})[cur] = time.time()
     return nxt
 
 
-def gc_stale_versions(paths: IndexPaths, manifest: dict) -> None:
-    """Best-effort removal of superseded version dirs. Safe any time
-    after the manifest commit; a crash mid-GC just leaves garbage for
-    the next sweep. (No snapshot isolation: a reader holding a handle
-    to a superseded version may fail after GC — re-open the index after
-    mutations, as the reference does after IndexUpdater runs.)"""
+def gc_stale_versions(paths: IndexPaths, manifest: dict, retain_s: float | None = None) -> None:
+    """Best-effort removal of superseded version dirs, with snapshot
+    retention. Safe any time after the manifest commit; a crash mid-GC
+    just leaves garbage for the next sweep.
+
+    A superseded dir is removed once it has been retired (pointer
+    flipped away from it) for at least ``retain_s`` seconds (default
+    ``GC_RETAIN_SECONDS`` / ``$PYLATE_GC_RETAIN_S``). With a window of
+    0 a reader holding a handle to a superseded version may fail after
+    GC — re-open the index after mutations, as the reference does after
+    IndexUpdater runs; with a window longer than the longest query,
+    in-flight readers finish on their immutable snapshot first. Orphan
+    dirs with no retirement record (a rewrite that crashed before its
+    commit) are removed immediately at window 0, else get a clock
+    started now."""
     import re
 
+    retain = GC_RETAIN_SECONDS if retain_s is None else retain_s
     dirs = manifest.get("dirs", {})
     active = {dirs.get(n, n) for n in _VERSIONED}
+    retired = manifest.setdefault("retired", {})
     pat = re.compile(r"^(" + "|".join(_VERSIONED) + r")(_v\d+)?$")
-    for name in storage.listdir(paths.root):
-        if pat.match(name) and name not in active:
+    now = time.time()
+    present = set(storage.listdir(paths.root))
+    changed = False
+    for name in present:
+        if not pat.match(name) or name in active:
+            continue
+        ts = retired.get(name)
+        if ts is None:
+            if retain <= 0:
+                storage.rmtree(storage.join(paths.root, name))
+            else:
+                retired[name] = now  # crash orphan: start its clock
+                changed = True
+        elif now - float(ts) >= retain:
             storage.rmtree(storage.join(paths.root, name))
+            retired.pop(name, None)
+            changed = True
+    # drop bookkeeping for dirs that are gone or became active again
+    for name in list(retired):
+        if name in active or name not in present:
+            retired.pop(name, None)
+            changed = True
+    if changed:
+        save_manifest(paths, manifest)
 
 
 def load_manifest(paths: IndexPaths) -> dict:

@@ -471,6 +471,57 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     return manifest
 
 
+def rebuild_index(
+    spark: SparkSession,
+    index_dir: str,
+    dst_dir: str,
+    shards_per_batch: int | None = None,
+) -> dict:
+    """Physically rebuild the index's live snapshot into ``dst_dir``
+    with a FRESH dense docid space — the docid-renumbering analog of
+    the reference's ``remove()`` (``fast_plaid.py:259-269``, which
+    renumbers ids on delete).
+
+    :func:`compact` is the in-place option: it drops tombstoned
+    postings but preserves the docid space, so ids grow sparse forever
+    under churn (valid tombstone-style design, zero reader disruption).
+    After heavy delete/add churn, a rebuild re-densifies ids
+    (0..n_docs-1 in url order), restores doc-range shard balance, and
+    resets batch fragmentation. It writes a complete NEW index root —
+    the caller flips serving to ``dst_dir`` when done (a cross-root
+    atomic rename doesn't exist on object stores; a root-level pointer
+    flip in the serving layer is the same commit discipline the
+    manifest uses for state dirs). External docid references (subsets,
+    qrels keyed by docid) must be re-resolved through the new docmap
+    via url.
+
+    Returns the new manifest at ``dst_dir``."""
+    paths = IndexPaths(index_dir)
+    manifest = load_manifest(paths)
+    if not manifest.get("finalized"):
+        raise ValueError("rebuild_index requires a finalized index")
+    manifest = _repair_pending_add(paths, manifest)
+    config = IndexConfig.from_dict(manifest["config"])
+    spb = _persisted_spb(manifest, shards_per_batch)
+
+    live = spark.read.parquet(active_dir(paths, manifest, "staging"))
+    tomb_dir = active_dir(paths, manifest, "tombstones")
+    if storage.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir).distinct()
+        live = live.join(F.broadcast(tomb), "docid", "left_anti")
+
+    from pylate_spark.plans.build import build_index
+
+    new_manifest = build_index(
+        spark, live.select("url", "text"), dst_dir, config=config, shards_per_batch=spb
+    )
+    new_manifest.setdefault("lineage", []).append(
+        {"stage": "rebuild_index", "at": _now(), "src": index_dir}
+    )
+    save_manifest(IndexPaths(dst_dir), new_manifest)
+    return new_manifest
+
+
 def consolidate_segments(spark: SparkSession, index_dir: str) -> dict:
     """File-level segment consolidation: after many incremental adds,
     the segments table accumulates one directory tree per batch; this

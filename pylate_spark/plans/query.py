@@ -64,14 +64,22 @@ TOMBSTONE_COMPACT_ADVICE = 1_000_000
 #: broadcast instead of riding the task closure (see search())
 SUBSET_BROADCAST_THRESHOLD = 4096
 
-#: partial-merge fan-in for the indexed search path: per-shard top-k
-#: rows are reduced to ≤ k per (query, docid-mod-group) in parallel
-#: before the final per-query window, so one query's final merge never
-#: sees more than TOPK_MERGE_GROUPS·k rows (at the 10^6-shard design
-#: point a stopword query would otherwise funnel shards·k ≈ 10^7 rows
+#: partial-merge fan-in for the scan path's window-based two-level
+#: merge (see _rank_topk) — bounds one query's final reducer at
+#: TOPK_MERGE_GROUPS·k rows instead of the full candidate set (a
+#: stopword query over the whole corpus otherwise funnels O(N) rows
 #: into a single reducer — the analog of the reference's flat final
 #: sort, index_storage.py:121-127, which is single-node by design)
 TOPK_MERGE_GROUPS = 64
+
+#: the indexed path pre-reduces kernel output with a shuffle-free
+#: partition-local top-k (_partition_topk) instead, but only past this
+#: many expected (shard × k) rows per query: measured at 3.2M docs/196
+#: shards the extra pass costs more than the single window saves
+#: (profile_query.py: merge1 23.9 s vs windowed two-level 29.3 s at 8
+#: cores), while at the 10^6-shard design point the single reducer is
+#: the bottleneck and the pre-reduction is mandatory
+PARTIAL_TOPK_THRESHOLD = 100_000
 
 
 def _rank_topk(scored: DataFrame, k: int, n_groups: int | None = None) -> DataFrame:
@@ -97,6 +105,29 @@ def _rank_topk(scored: DataFrame, k: int, n_groups: int | None = None) -> DataFr
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shuffle-free partial top-k: inside each physical partition keep
+    only the best k rows per query by (score desc, docid asc). Exact
+    for any partitioning — the global top-k is a subset of the union of
+    per-partition top-k's, and both levels order by the same key. The
+    final merge input is bounded at partitions·k rows per query (a
+    cluster property) instead of shards·k (a data property that reaches
+    ~10^7 for a stopword query at the 10^6-shard design point).
+    Per-task memory is the partition's scored rows (~24 B each)."""
+
+    def gen(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["query_id", "score", "docid"], ascending=[True, False, True], kind="mergesort"
+        )
+        yield pdf.groupby("query_id", sort=False).head(k)
+
+    return scored.mapInPandas(gen, schema=scored.schema)
 
 
 class InvertedIndex:
@@ -288,7 +319,10 @@ class InvertedIndex:
             )
 
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
-        return _rank_topk(scored, k, n_groups=TOPK_MERGE_GROUPS)
+        total_shards = -(-self.n_docs // ssz)
+        if total_shards * k > PARTIAL_TOPK_THRESHOLD:
+            scored = _partition_topk(scored, k)
+        return _rank_topk(scored, k)
 
 
 def bm25_scan_topk(

@@ -16,7 +16,10 @@ import sys
 import tempfile
 
 N_DOCS = int(os.environ.get("PYLATE_SCALE_DOCS", "200000"))
-MASTERS = os.environ.get("PYLATE_SCALE_MASTERS", "local[8],local[32]").split(",")
+# split on commas OUTSIDE brackets: local-cluster[4,2,6144] has its own
+import re
+
+MASTERS = re.split(r",(?![^\[]*\])", os.environ.get("PYLATE_SCALE_MASTERS", "local[8],local[32]"))
 #: whole-run repeats, INTERLEAVED (lo,hi,lo,hi,...) so both widths
 #: sample the same host-noise windows; per-width result = best
 #: throughput observation (the box is host-time-shared: identical runs

@@ -23,15 +23,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(master: str, n_docs: int, corpus_dir: str) -> None:
+def main(master: str, n_docs: int, corpus_dir: str,
+         workers: int | None = None, exec_cores: int | None = None) -> None:
     from pylate_spark.config import IndexConfig
     from pylate_spark.plans.build import build_index
     from pylate_spark.plans.query import InvertedIndex
     from pylate_spark.session import get_spark
     from pylate_spark.sources.synth import synth_pages, synth_queries_pandas
 
-    spark = get_spark(app_name=f"scaling_{master}", master=master)
-    if master.startswith("local-cluster"):
+    extra_conf = {}
+    shuffle = None
+    if master.startswith("spark://"):
+        # standalone cluster (scripts/scaling_cluster.py): topology is
+        # given explicitly — one executor per worker, all worker cores
+        assert workers and exec_cores, "spark:// master needs workers+cores argv"
+        extra_conf = {
+            "spark.executor.cores": str(exec_cores),
+            "spark.executor.memory": f"{int(os.environ.get('PYLATE_CLUSTER_WORKER_MB', '6144')) - 512}m",
+            "spark.cores.max": str(workers * exec_cores),
+        }
+        shuffle = max(workers * exec_cores, 4)
+    spark = get_spark(app_name=f"scaling_{master}", master=master,
+                      shuffle_partitions=shuffle, extra_conf=extra_conf)
+    if master.startswith(("local-cluster", "spark://")):
         # separate executor JVMs spawn their own python workers, which
         # don't inherit the driver's sys.path — ship the package the
         # way a real cluster run does (spark-submit --py-files analog)
@@ -44,6 +58,8 @@ def main(master: str, n_docs: int, corpus_dir: str) -> None:
         # standalone mode — derive total cores from the topology instead
         w, c, _ = (int(x) for x in master[14:-1].split(","))
         cores = w * c
+    elif master.startswith("spark://"):
+        cores = workers * exec_cores
     else:
         cores = spark.sparkContext.defaultParallelism
 
@@ -107,4 +123,8 @@ def main(master: str, n_docs: int, corpus_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), sys.argv[3])
+    main(
+        sys.argv[1], int(sys.argv[2]), sys.argv[3],
+        int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        int(sys.argv[5]) if len(sys.argv) > 5 else None,
+    )

@@ -42,6 +42,29 @@ def test_lsh_finds_near_dups(dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Pairs → duplicate clusters: a chain (transitivity), a clique, a
+    vertex-only singleton; cluster_id = min reachable id, keep marks it."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            # chain 1-2-3-4 (diameter 3, exercises >1 propagation round)
+            # + clique {10,11,12}
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+            columns=["doc_a", "doc_b"],
+        )
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 12, 99]})  # 99 isolated
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_clusters(pairs, docs=docs).collect()}
+    assert {d: rows[d]["cluster_id"] for d in sorted(rows)} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99
+    }
+    assert {d for d in rows if rows[d]["keep"]} == {1, 10, 99}
+
+
 def test_simhash_near_dups_are_close(dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}
     assert sh[0] == sh[1] == sh[4]

@@ -226,6 +226,69 @@ def test_versioned_swap_crash_windows(spark, tmp_path):
     assert victim not in {r["docid"] for r in after}
 
 
+def test_rebuild_renumbers_dense_and_preserves_results(spark, tmp_path):
+    """rebuild_index: after delete+add churn, the rebuilt index has a
+    dense 0..n-1 docid space and returns the same (url, score) results
+    (docids differ by design — ranks may flip only on exact score ties,
+    so compare score-sorted url multisets)."""
+    from pylate_spark.plans.maintenance import rebuild_index
+
+    d = _build(spark, str(tmp_path / "idx"), n=128)
+    delete_documents(spark, d, [5, 17, 64, 65])
+    add_documents(spark, spark.createDataFrame(synth_pages_pandas(16, seed=5)), d)
+    src = InvertedIndex(spark, d)
+
+    d2 = str(tmp_path / "idx2")
+    m2 = rebuild_index(spark, d, d2)
+    dst = InvertedIndex(spark, d2)
+    assert m2["n_docs"] == src.n_docs == 128 - 4 + 16
+    dm = dst.docmap()
+    n = dm.count()
+    assert n == m2["n_docs"]
+    agg = dm.agg({"docid": "max"}).collect()[0][0]
+    assert agg == n - 1  # dense renumbering
+    assert dm.select("docid").distinct().count() == n
+
+    def by_url(idx):
+        # k > corpus so the boundary can't cut a score tie differently
+        rows = idx.resolve_urls(idx.search([(0, "the w00004")], k=500, round_to=4)).collect()
+        return sorted((round(float(r["score"]), 4), r["url"]) for r in rows)
+
+    assert by_url(src) == by_url(dst)
+
+
+def test_gc_snapshot_retention(spark, tmp_path, monkeypatch):
+    """With a retention window, a rewrite retires the old version dirs
+    instead of deleting them: a reader that resolved its pointers
+    before the rewrite keeps answering from its immutable snapshot; the
+    dirs are swept only after the window expires (Iceberg's
+    expire_snapshots model, for readers that outlive a compaction)."""
+    import pylate_spark.plans.build as B
+    from pylate_spark import storage
+    from pylate_spark.plans.build import gc_stale_versions, save_manifest
+    from pylate_spark.plans.maintenance import consolidate_segments
+
+    d = _build(spark, str(tmp_path / "idx"), n=64)
+    paths = IndexPaths(d)
+    reader = InvertedIndex(spark, d)  # snapshot: pointers resolved now
+    want = reader.search([(0, "the w00004")], k=5).collect()
+    old_seg = active_dir(paths, load_manifest(paths), "segments")
+
+    monkeypatch.setattr(B, "GC_RETAIN_SECONDS", 3600.0)
+    consolidate_segments(spark, d)  # rewrites segments + sweeps with window
+    assert storage.exists(old_seg), "retired dir must survive the window"
+    assert reader.search([(0, "the w00004")], k=5).collect() == want
+    assert InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect() == want
+
+    # expire the window: back-date the retirement stamps, sweep again
+    m = load_manifest(paths)
+    m["retired"] = {k: 0.0 for k in m.get("retired", {})}
+    save_manifest(paths, m)
+    gc_stale_versions(paths, m)
+    assert not storage.exists(old_seg)
+    assert InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect() == want
+
+
 def test_delete_crash_before_commit_leaves_index_intact(spark, tmp_path):
     """delete_documents is one atomic commit: if it dies before the
     manifest write (after the new tombstone/term_stats versions were

@@ -89,6 +89,21 @@ def test_subset_filter(spark, built_index, pages_t2_pdf, queries_pdf):
     assert_rank_identical(got, want)
 
 
+def test_partition_topk_prereduce_rank_identical(spark, built_index, pages_t2_pdf, queries_pdf, monkeypatch):
+    """The shuffle-free partition-local pre-reduction (enabled at large
+    shard counts) must be invisible to results: force it on and compare
+    against the oracle."""
+    import pylate_spark.plans.query as Q
+
+    monkeypatch.setattr(Q, "PARTIAL_TOPK_THRESHOLD", 0)
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qs = list(zip(queries_pdf["query_id"].tolist(), queries_pdf["text"].tolist()))
+    got = _collect_ranked(idx.search(qs, k=K))
+    want, _ = _oracle_results(pages_t2_pdf, queries_pdf, k=K)
+    assert_rank_identical(got, want)
+
+
 def test_subset_filter_large_broadcast(spark, built_index, pages_t2_pdf, queries_pdf):
     """A large allow-list (> SUBSET_BROADCAST_THRESHOLD) takes the
     broadcast path instead of riding every task closure; results must be
