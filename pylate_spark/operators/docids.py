@@ -43,9 +43,18 @@ def assign_docids(
     ``partitions`` controls the range-partitioner width; defaults to the
     session shuffle parallelism.
     """
+    from pyspark import StorageLevel
+
     spark = pages.sparkSession
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # at least one range partition per input split: with few
+        # shuffle partitions (a narrow cluster) the default would pack
+        # the whole corpus text into a handful of ~GB sort tasks —
+        # measured as the worst-scaling build phase (profile_build.py)
+        partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            pages.rdd.getNumPartitions(),
+        )
 
     ordered = (
         pages.repartitionByRange(partitions, F.col(key_col))
@@ -56,8 +65,14 @@ def assign_docids(
     # persist pins the (sampled) range partitioning so both passes see
     # identical partition contents. The caller must materialize the
     # result (e.g. write the docmap) and then release the cache via the
-    # returned handle's ``unpersist``.
-    ordered = ordered.persist()
+    # returned handle's ``unpersist``. DISK_ONLY, deliberately: the
+    # pinned corpus is full document text (≫ executor heaps at scale);
+    # streamed from executor-local disk (tmpfs in the local harness,
+    # NVMe on a cluster) both passes cost one sequential read, whereas
+    # a memory cache makes staging throughput depend on aggregate
+    # executor cache memory — which shrinks with cluster size and
+    # measurably broke build scaling at the 1-executor leg.
+    ordered = ordered.persist(StorageLevel.DISK_ONLY)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -91,7 +91,7 @@ def main(master: str, n_docs: int, corpus_dir: str,
         build_sec = time.time() - t0
 
         idx = InvertedIndex(spark, idx_dir)
-        n_q = 2000
+        n_q = int(os.environ.get("PYLATE_SCALE_QUERIES", "2000"))
         qpdf = synth_queries_pandas(n_q)
         qset = list(zip(qpdf["query_id"].tolist(), qpdf["text"].tolist()))
         idx.search(qset[:8], k=10).count()  # warm the query path
