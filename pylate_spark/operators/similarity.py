@@ -228,13 +228,15 @@ def embedding_near_dup_pairs(
         bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     if max_bucket_size is not None:
-        small = (
-            e.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .where(F.col("bucket_n") <= max_bucket_size)
-            .select("bucket")
+        # window, not agg+semi-join: the count rides the same shuffle
+        # that groups buckets, so the projection/normalization of e is
+        # not computed a third time just to size the buckets
+        wb = Window.partitionBy("bucket")
+        e = (
+            e.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
         )
-        e = e.join(small, "bucket", "left_semi")
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -121,7 +121,11 @@ def bump_dir(manifest: dict, name: str) -> str:
     v = int(tail[1]) + 1 if len(tail) == 2 and tail[1].isdigit() else 1
     nxt = f"{name}_v{v}"
     manifest.setdefault("dirs", {})[name] = nxt
-    manifest.setdefault("retired", {})[cur] = time.time()
+    # None = "retires at the NEXT manifest commit": save_manifest stamps
+    # the actual time. Stamping here (allocation time) would let a long
+    # rewrite consume the retention window before readers were even
+    # exposed to the new version.
+    manifest.setdefault("retired", {})[cur] = None
     return nxt
 
 
@@ -181,6 +185,12 @@ def load_manifest(paths: IndexPaths) -> dict:
 
 def save_manifest(paths: IndexPaths, manifest: dict) -> None:
     storage.makedirs(paths.root)
+    # retirement clocks start NOW — the commit is when readers stop
+    # being handed the old versions (see bump_dir)
+    retired = manifest.get("retired", {})
+    for name, ts in retired.items():
+        if ts is None:
+            retired[name] = time.time()
     # atomic commit point — see storage module notes on the semantics
     # per filesystem class
     storage.write_text(paths.manifest, json.dumps(manifest, indent=1, default=str))

@@ -93,34 +93,44 @@ def _purge_staged_batches(staging_dir: str, first_batch: int) -> None:
 
 def _epoch_parts(epoch_key: str) -> tuple[str, int] | None:
     """Split a streaming epoch key ``"{checkpoint_dir}#{epoch_id}"``
-    into (stream id, epoch number); None for arbitrary caller keys."""
+    into (stream id, epoch number); None if the tail is not an int."""
     sid, sep, e = epoch_key.rpartition("#")
-    if sep and e.lstrip("-").isdigit():
+    body = e[1:] if e.startswith("-") else e
+    if sep and body.isdigit():
         return sid, int(e)
     return None
 
 
-def _epoch_applied(manifest: dict, epoch_key: str) -> bool:
-    parts = _epoch_parts(epoch_key)
-    if parts is not None and parts[1] <= int(
-        manifest.get("applied_epoch_max", {}).get(parts[0], -1)
-    ):
-        return True
-    # legacy list (and arbitrary non-numeric caller keys)
+def _epoch_applied(manifest: dict, epoch_key: str, monotonic: bool) -> bool:
+    if monotonic:
+        parts = _epoch_parts(epoch_key)
+        if parts is not None and parts[1] <= int(
+            manifest.get("applied_epoch_max", {}).get(parts[0], -1)
+        ):
+            return True
+    # exact-set semantics (and pre-round-3 manifests)
     return epoch_key in manifest.get("applied_epochs", [])
 
 
-def _record_epoch(manifest: dict, epoch_key: str) -> None:
-    """Record an applied epoch with O(#streams) manifest growth.
+def _record_epoch(manifest: dict, epoch_key: str, monotonic: bool) -> None:
+    """Record an applied epoch.
 
-    Structured Streaming epoch ids are monotonic per checkpoint dir and
-    commit in order through the foreachBatch sink, so the max applied
-    epoch per stream fully encodes the applied set — the manifest no
-    longer accretes one list entry per micro-batch (O(n²) rewrite churn
-    over a long-running stream). Arbitrary caller keys (no trailing
-    ``#<int>``) can't be safely evicted and keep exact list semantics."""
-    parts = _epoch_parts(epoch_key)
-    if parts is not None:
+    ``monotonic=True`` (the streaming sink's own keys, shaped
+    ``"{checkpoint_dir}#{epoch_id}"``): Structured Streaming epoch ids
+    are monotonic per checkpoint dir and commit in order through the
+    foreachBatch sink, so the max applied epoch per stream fully
+    encodes the applied set — O(#streams) manifest growth instead of
+    one list entry per micro-batch (O(n²) rewrite churn over a
+    long-running stream). Arbitrary caller keys MUST use
+    ``monotonic=False`` (exact set semantics): treating any key that
+    happens to end in ``#<int>`` as monotonic would silently skip a
+    never-applied add whose numeric tail is below a previous one."""
+    if monotonic:
+        parts = _epoch_parts(epoch_key)
+        if parts is None:
+            raise ValueError(
+                f"monotonic epoch_key must end in '#<int>', got {epoch_key!r}"
+            )
         m = manifest.setdefault("applied_epoch_max", {})
         m[parts[0]] = max(int(m.get(parts[0], -1)), parts[1])
     else:
@@ -151,6 +161,7 @@ def add_documents(
     key_col: str = "url",
     text_col: str = "text",
     epoch_key: str | None = None,
+    epoch_monotonic: bool = False,
 ) -> dict:
     """Append new documents as fresh build batches.
 
@@ -165,7 +176,11 @@ def add_documents(
     Structured Streaming epoch replay): an already-applied key returns
     immediately; a key whose previous attempt crashed mid-staging is
     detected via the ``pending_add`` manifest marker and its partial
-    rows purged before redoing.
+    rows purged before redoing. ``epoch_monotonic=True`` (set by the
+    streaming sink, whose ``"{checkpoint}#{epoch}"`` keys commit in
+    increasing order) stores only the max applied epoch per stream;
+    leave it False for arbitrary caller keys, which keep exact
+    per-key semantics.
     """
     paths = IndexPaths(index_dir)
     manifest = load_manifest(paths)
@@ -177,7 +192,7 @@ def add_documents(
             "index has an incomplete add in progress; call "
             "resume_add(spark, index_dir) to finish it, then retry"
         )
-    if epoch_key is not None and _epoch_applied(manifest, epoch_key):
+    if epoch_key is not None and _epoch_applied(manifest, epoch_key, epoch_monotonic):
         return manifest  # replayed epoch whose rows already committed
     config = IndexConfig.from_dict(manifest["config"])
     spb = _persisted_spb(manifest, shards_per_batch)
@@ -216,7 +231,7 @@ def add_documents(
     if epoch_key is not None:
         # recorded in the SAME atomic write that commits the staged rows:
         # a replay after this point skips; before it, finds purged rows
-        _record_epoch(manifest, epoch_key)
+        _record_epoch(manifest, epoch_key, epoch_monotonic)
     manifest.setdefault("lineage", []).append(
         {"stage": "add_documents", "at": _now(),
          "docid_base": docid_base, "epoch_key": epoch_key}
@@ -465,8 +480,16 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # crash anywhere before this line leaves the tombstone set intact,
     # so a re-run redoes the whole compact (as a no-op posting filter)
     # and converges; clearing earlier would make the re-run early-return
-    # at the tombstone check with docmap/metrics still stale.
-    storage.rmtree(tomb_dir)
+    # at the tombstone check with docmap/metrics still stale. The clear
+    # is a pointer FLIP to a fresh (never-written) version name, not an
+    # rmtree: an rmtree would yank the dir out from under a reader
+    # holding the pre-compact manifest snapshot (whose old segments are
+    # retained for GC_RETAIN_SECONDS — it needs the matching tombstones
+    # to keep filtering deleted docs). The old dir retires through the
+    # same retention window as every other superseded version.
+    bump_dir(manifest, "tombstones")
+    save_manifest(paths, manifest)
+    gc_stale_versions(paths, manifest)
     tomb_bc.unpersist(blocking=False)
     return manifest
 
@@ -515,6 +538,13 @@ def rebuild_index(
     new_manifest = build_index(
         spark, live.select("url", "text"), dst_dir, config=config, shards_per_batch=spb
     )
+    # carry the applied-epoch record: the rebuilt index contains every
+    # document those epochs added, so a stream replaying its last
+    # in-flight epoch against the new root must still be skipped —
+    # otherwise the first replay after the serving flip double-adds
+    for k in ("applied_epoch_max", "applied_epochs"):
+        if k in manifest:
+            new_manifest[k] = manifest[k]
     new_manifest.setdefault("lineage", []).append(
         {"stage": "rebuild_index", "at": _now(), "src": index_dir}
     )

@@ -157,6 +157,8 @@ class InvertedIndex:
         self._tomb_bc = (
             self.spark.sparkContext.broadcast(tomb) if tomb is not None else None
         )
+        #: one live large-subset broadcast per handle (see search())
+        self._subset_bc = None
         if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
             import warnings
 
@@ -298,9 +300,17 @@ class InvertedIndex:
         # 10^8 subset ids that's GBs of repeated driver→task traffic).
         # Small subsets stay in the closure: a per-call broadcast has
         # its own driver round-trip and lingers until unpersisted.
+        # The handle keeps ONE live subset broadcast: the previous one
+        # is unpersisted (not destroyed — a still-unexecuted DataFrame
+        # from an earlier search lazily re-ships it from the driver if
+        # run later), so repeated subset searches on a long-lived
+        # handle don't accumulate executor broadcast blocks.
         allowed_bc = None
         if allowed is not None and allowed.size > SUBSET_BROADCAST_THRESHOLD:
-            allowed_bc, allowed = self.spark.sparkContext.broadcast(allowed), None
+            if self._subset_bc is not None:
+                self._subset_bc.unpersist(blocking=False)
+            allowed_bc = self._subset_bc = self.spark.sparkContext.broadcast(allowed)
+            allowed = None
         avgdl, kk, md, rt = self.avgdl, k, mode, round_to
         ssz = self.config.shard_size  # dense-accumulator extent per kernel
 

@@ -74,6 +74,7 @@ def stream_index_updates(
             key_col=key_col,
             text_col=text_col,
             epoch_key=f"{checkpoint_dir}#{epoch_id}",
+            epoch_monotonic=True,  # sink-generated keys commit in order
         )
 
     writer = (

@@ -74,11 +74,20 @@ def main(argv: list[str] | None = None) -> dict:
         build_index(spark, docs, index_dir, key_col=args.key_col, text_col=args.text_col)
 
     if "docid" not in qrels.columns:
-        # resolve doc keys → index docids through the docmap
+        # resolve doc keys → index docids through the docmap. LEFT join:
+        # a judged-relevant doc that is not in the index must stay in
+        # the qrels (with a null docid that can never be retrieved) so
+        # it counts as a MISS in recall/nDCG denominators — an inner
+        # join would silently shrink the judgment set and overstate
+        # quality on a corpus-mismatched index.
         docmap = InvertedIndex(spark, index_dir).docmap().select(
             F.col("url").alias(args.key_col), "docid"
         )
-        qrels = qrels.join(F.broadcast(docmap), args.key_col).drop(args.key_col)
+        qrels = qrels.join(F.broadcast(docmap), args.key_col, "left").drop(args.key_col)
+        n_unresolved = qrels.where(F.col("docid").isNull()).count()
+        if n_unresolved:
+            print(f"# {n_unresolved} qrels rows reference docs not in the index "
+                  "(counted as misses)", file=sys.stderr)
     qrels = qrels.select("query_id", "docid", "relevance")
 
     per_query = evaluate_index(spark, index_dir, queries, qrels, k=args.k)

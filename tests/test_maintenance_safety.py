@@ -73,14 +73,31 @@ def test_add_after_compact_emptied_trailing_batch(spark, tmp_path):
 def test_add_epoch_replay_is_noop(spark, tmp_path):
     d = _build(spark, str(tmp_path / "idx"))
     extra = spark.createDataFrame(synth_pages_pandas(16, seed=5))
-    m1 = add_documents(spark, extra, d, epoch_key="ckpt#1")
+    m1 = add_documents(spark, extra, d, epoch_key="ckpt#1", epoch_monotonic=True)
     assert m1["n_docs"] == 80
-    m2 = add_documents(spark, extra, d, epoch_key="ckpt#1")  # replay
+    m2 = add_documents(spark, extra, d, epoch_key="ckpt#1", epoch_monotonic=True)  # replay
     assert m2["n_docs"] == 80
     # streaming epoch keys are recorded as max-epoch-per-stream (bounded
     # manifest growth), not one list entry per micro-batch
     assert m2["applied_epoch_max"]["ckpt"] == 1
     assert "ckpt#1" not in m2.get("applied_epochs", [])
+
+
+def test_arbitrary_epoch_keys_keep_exact_semantics(spark, tmp_path):
+    """A non-streaming caller key that HAPPENS to end in '#<int>' must
+    not get monotonic-skip semantics: 'load#1' after 'load#2' is a new
+    key and its documents must be indexed (the monotonic shortcut is
+    opt-in for the streaming sink only)."""
+    d = _build(spark, str(tmp_path / "idx"))
+    add_documents(spark, spark.createDataFrame(synth_pages_pandas(16, seed=5)),
+                  d, epoch_key="load#2")
+    m = add_documents(spark, spark.createDataFrame(synth_pages_pandas(16, seed=7)),
+                      d, epoch_key="load#1")
+    assert m["n_docs"] == 64 + 16 + 16  # NOT silently skipped
+    # and exact replay of an applied key is still a no-op
+    m = add_documents(spark, spark.createDataFrame(synth_pages_pandas(16, seed=7)),
+                      d, epoch_key="load#1")
+    assert m["n_docs"] == 64 + 16 + 16
 
 
 def test_add_replay_after_crash_mid_staging(spark, tmp_path):
@@ -98,7 +115,7 @@ def test_add_replay_after_crash_mid_staging(spark, tmp_path):
     _stage_corpus(spark, spark.createDataFrame(extra_pdf), paths, CFG, SPB,
                   "url", "text", docid_base=64)
     # ... crash; Structured Streaming replays the epoch:
-    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#9")
+    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#9", epoch_monotonic=True)
     assert m["n_docs"] == 64 + 16  # exactly once, no duplicates
     docmap = spark.read.parquet(active_dir(paths, load_manifest(paths), "docmap"))
     assert docmap.count() == 80  # orphan staged rows purged, one add applied
@@ -122,14 +139,14 @@ def test_add_replay_after_crash_mid_build(spark, tmp_path):
     M._build_one_batch = dying
     try:
         with pytest.raises(RuntimeError):
-            add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2")
+            add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2", epoch_monotonic=True)
     finally:
         M._build_one_batch = orig
     # replay discipline (what the streaming sink does):
     m = load_manifest(paths)
     assert not m.get("finalized")
     resume_add(spark, d)
-    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2")
+    m = add_documents(spark, spark.createDataFrame(extra_pdf), d, epoch_key="ckpt#2", epoch_monotonic=True)
     assert m["n_docs"] == 64 + 16
     assert m["applied_epoch_max"]["ckpt"] == 2
 
@@ -287,6 +304,35 @@ def test_gc_snapshot_retention(spark, tmp_path, monkeypatch):
     gc_stale_versions(paths, m)
     assert not storage.exists(old_seg)
     assert InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect() == want
+
+
+def test_gc_retention_keeps_tombstones_with_old_segments(spark, tmp_path, monkeypatch):
+    """compact under a retention window must FLIP the tombstones dir,
+    not delete it: a reader on the pre-compact manifest snapshot needs
+    the old tombstones alongside the old segments, or deleted documents
+    resurrect mid-query."""
+    import pylate_spark.plans.build as B
+    from pylate_spark import storage
+
+    d = _build(spark, str(tmp_path / "idx"), n=96)
+    top = InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect()
+    victim = top[0]["docid"]
+    delete_documents(spark, d, [victim])
+    pre_manifest = load_manifest(IndexPaths(d))  # the snapshot a reader holds
+    old_tomb = active_dir(IndexPaths(d), pre_manifest, "tombstones")
+    want = InvertedIndex(spark, d).search([(0, "the w00004")], k=5).collect()
+    assert victim not in {r["docid"] for r in want}
+
+    monkeypatch.setattr(B, "GC_RETAIN_SECONDS", 3600.0)
+    compact(spark, d)
+    # old tombstones dir survives the window for snapshot readers...
+    assert storage.exists(old_tomb)
+    late_reader_view = spark.read.parquet(old_tomb)
+    assert victim in {r["docid"] for r in late_reader_view.collect()}
+    # ...while a fresh handle sees the compacted state (no tombstones)
+    idx = InvertedIndex(spark, d)
+    assert idx._tomb_bc is None
+    assert idx.search([(0, "the w00004")], k=5).collect() == want
 
 
 def test_delete_crash_before_commit_leaves_index_intact(spark, tmp_path):
