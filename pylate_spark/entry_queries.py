@@ -503,13 +503,68 @@ SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {K}
 """
 
 
+ANN_PLANES, ANN_PROBE, ANN_NQ = 6, 7, 5
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed IVF) — rows-only check by design."""
+    """LSH-bucketed IVF top-k. Approximate w.r.t. exact cosine top-k
+    (recall measured by the bench), but DETERMINISTIC given the seeded
+    hyperplanes — so DuckDB can replicate the probe exactly and the
+    entry is value-hash-oracled like everything else."""
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < 5).select(
+    queries = emb.where(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.ivf_topk(emb, queries, k=K, n_planes=6, dim=64, n_probe=7)
+    return similarity.ivf_topk(
+        emb, queries, k=K, n_planes=ANN_PLANES, dim=64, n_probe=ANN_PROBE
+    )
+
+
+def _ann_ivf_sql(k: int = K, n_planes: int = ANN_PLANES, dim: int = 64,
+                 seed: int = 42, n_probe: int = ANN_PROBE, n_q: int = ANN_NQ) -> str:
+    """Exact DuckDB replica of :func:`similarity.ivf_topk`: same seeded
+    hyperplanes (inlined double literals), same sign-bit bucketing,
+    same Hamming-weight-ordered multi-probe masks, same rounded-cosine
+    ranking with vec_id tie-break."""
+    from itertools import combinations
+
+    from pylate_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    bucket = " + ".join(
+        f"CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    masks: list[int] = []
+    for w in range(n_planes + 1):
+        for bits in combinations(range(n_planes), w):
+            masks.append(sum(1 << b for b in bits))
+            if len(masks) >= n_probe:
+                break
+        if len(masks) >= n_probe:
+            break
+    probe = ", ".join(f"xor(q.bucket, {m})" for m in masks)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv, ({bucket}) AS bucket FROM e
+),
+q AS (SELECT vec_id AS qid, v AS qv, nv AS nq, bucket FROM b WHERE vec_id < {n_q}),
+cand AS (
+  SELECT q.qid, e2.vec_id,
+         round(list_inner_product(e2.v, q.qv) / (e2.nv * q.nq), 4) AS cos_sim
+  FROM b e2 JOIN q ON e2.bucket IN ({probe}) AND e2.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM cand
+)
+SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
+"""
 
 
 NEAR_DUP_MIN_COS = 0.35  # testdata embeddings are near-orthogonal
@@ -819,7 +874,7 @@ def catalog() -> dict[str, tuple]:
         "simhash": (q_simhash, SQL_SIMHASH),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-        "ann_ivf_topk": (q_ann_ivf_topk, None),
+        "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
         "embedding_near_dups": (q_embedding_near_dups, _near_dup_sql()),
         "eval_ndcg": (q_eval_ndcg, _eval_ndcg_sql()),
         "eval_recall": (q_eval_recall, _eval_recall_sql()),
