@@ -67,3 +67,77 @@ def test_ingest_monitor(spark, tmp_path):
     assert sum(r["n_pages"] for r in rows) == 100
     langs = {r["lang"] for r in rows}
     assert "en" in langs and "de" in langs
+
+
+def test_stream_exact_dedupe_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: in-batch dups collapse to the
+    min-key winner; a dup arriving in a LATER micro-batch is dropped
+    too (state survives the batch boundary); distinct docs pass."""
+    import pandas as pd
+
+    from pylate_spark.streaming.dedupe import stream_exact_dedupe
+
+    base = synth_pages_pandas(4)  # 4 distinct texts
+    src = tmp_path / "dedupe_src"
+    src.mkdir()
+
+    # micro-batch 1: doc0, doc1, and an in-batch copy of doc0 (new url)
+    b1 = pd.concat([base.iloc[[0, 1]], base.iloc[[0]]], ignore_index=True)
+    b1.loc[2, "url"] = "https://mirror.example/zzz-copy-of-0"
+    # micro-batch 2: doc2 plus a cross-batch copy of doc1
+    b2 = pd.concat([base.iloc[[2]], base.iloc[[1]]], ignore_index=True)
+    b2.loc[1, "url"] = "https://mirror.example/zzz-copy-of-1"
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(str(src / "*"))
+    )
+    out = stream_exact_dedupe(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedupe_out")
+        .option("checkpointLocation", str(tmp_path / "dedupe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT url, text_hash FROM dedupe_out").collect()
+    urls = sorted(r["url"] for r in rows)
+    # exactly one survivor per distinct text; original urls win (they
+    # sort below the zzz- mirrors); the cross-batch dup was dropped
+    assert urls == sorted(base.iloc[[0, 1, 2]]["url"].tolist()), urls
+    assert len({r["text_hash"] for r in rows}) == 3
+
+
+def test_stream_exact_dedupe_ttl_path(spark, tmp_path):
+    """The processing-time-TTL configuration (timeout registered per
+    content hash) must run the same dedup end-to-end; TTL *expiry*
+    semantics are wall-clock and not asserted here — only that the
+    stateful path with timeouts enabled is correct."""
+    import pandas as pd
+
+    from pylate_spark.streaming.dedupe import stream_exact_dedupe
+
+    base = synth_pages_pandas(3)
+    dup = base.iloc[[0]].copy()
+    dup["url"] = "https://zzz.example/dup"
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    spark.createDataFrame(pd.concat([base, dup])).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(src / "*"))
+    out = stream_exact_dedupe(stream, ttl_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT url FROM ttl_out").collect()
+    assert len(rows) == 3 and not any("zzz" in r["url"] for r in rows)
