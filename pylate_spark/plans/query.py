@@ -64,70 +64,27 @@ TOMBSTONE_COMPACT_ADVICE = 1_000_000
 #: broadcast instead of riding the task closure (see search())
 SUBSET_BROADCAST_THRESHOLD = 4096
 
-#: partial-merge fan-in for the scan path's window-based two-level
-#: merge (see _rank_topk) — bounds one query's final reducer at
-#: TOPK_MERGE_GROUPS·k rows instead of the full candidate set (a
-#: stopword query over the whole corpus otherwise funnels O(N) rows
-#: into a single reducer — the analog of the reference's flat final
-#: sort, index_storage.py:121-127, which is single-node by design)
-TOPK_MERGE_GROUPS = 64
-
-#: the indexed path pre-reduces kernel output with a shuffle-free
-#: partition-local top-k (_partition_topk) instead, but only past this
-#: many expected (shard × k) rows per query: measured at 3.2M docs/196
-#: shards the extra pass costs more than the single window saves
-#: (profile_query.py: merge1 23.9 s vs windowed two-level 29.3 s at 8
-#: cores), while at the 10^6-shard design point the single reducer is
-#: the bottleneck and the pre-reduction is mandatory
-PARTIAL_TOPK_THRESHOLD = 100_000
-
-
-def _rank_topk(scored: DataFrame, k: int, n_groups: int | None = None) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Global top-k merge: score desc, docid asc tie-break.
 
-    With ``n_groups`` set, a two-level merge: first keep the top-k per
-    (query_id, docid % n_groups) — parallel reducers, each seeing a
-    1/n_groups slice — then the final per-query window ranks at most
-    n_groups·k survivors. Exact for any grouping: the global top-k is a
-    subset of the union of per-group top-k's, and both levels order by
-    the same (score desc, docid asc) key."""
+    Single window ON PURPOSE — the bounded-merge work is Catalyst's:
+    for a row_number window filtered by ``rank <= k``, Spark inserts
+    ``WindowGroupLimit [Partial]`` BELOW the final exchange (plan
+    evidence in PLANS.md §1), so each map partition forwards at most k
+    rows per query and the per-query reducer sees partitions·k rows —
+    never shards·k (the 10^6-shard stopword hazard) nor the full
+    candidate set on the scan path. Round 3 tried two hand-rolled
+    pre-reductions (a windowed (query, docid mod g) level and a
+    mapInPandas partition-local top-k); both measured as pure overhead
+    over the built-in partial (+2–5.5 s and +1 s per 2000-query batch
+    at 3.2M docs — profile_query.py) and were removed. A plan-shape
+    test pins the WindowGroupLimit so a regression is caught."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
-    if n_groups is not None:
-        wp = Window.partitionBy("query_id", "mgrp").orderBy(F.desc("score"), F.asc("docid"))
-        scored = (
-            scored.withColumn("mgrp", F.pmod(F.col("docid"), F.lit(n_groups)))
-            .withColumn("prank", F.row_number().over(wp))
-            .where(F.col("prank") <= k)
-            .drop("mgrp", "prank")
-        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
-
-
-def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Shuffle-free partial top-k: inside each physical partition keep
-    only the best k rows per query by (score desc, docid asc). Exact
-    for any partitioning — the global top-k is a subset of the union of
-    per-partition top-k's, and both levels order by the same key. The
-    final merge input is bounded at partitions·k rows per query (a
-    cluster property) instead of shards·k (a data property that reaches
-    ~10^7 for a stopword query at the 10^6-shard design point).
-    Per-task memory is the partition's scored rows (~24 B each)."""
-
-    def gen(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(
-            ["query_id", "score", "docid"], ascending=[True, False, True], kind="mergesort"
-        )
-        yield pdf.groupby("query_id", sort=False).head(k)
-
-    return scored.mapInPandas(gen, schema=scored.schema)
 
 
 class InvertedIndex:
@@ -329,9 +286,6 @@ class InvertedIndex:
             )
 
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
-        total_shards = -(-self.n_docs // ssz)
-        if total_shards * k > PARTIAL_TOPK_THRESHOLD:
-            scored = _partition_topk(scored, k)
         return _rank_topk(scored, k)
 
 
@@ -398,4 +352,4 @@ def bm25_scan_topk(
         scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
     else:
         scored = scored.withColumn("score", F.col("score_d").cast("float"))
-    return _rank_topk(scored.drop("score_d"), k, n_groups=TOPK_MERGE_GROUPS)
+    return _rank_topk(scored.drop("score_d"), k)

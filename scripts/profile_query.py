@@ -7,16 +7,12 @@ efficiency misses 0.8).
 Usage: python scripts/profile_query.py <master> [n_docs] [corpus_dir]
 
 Phases measured (MIN of repeats each):
-  scan            — bucket+term-pruned segment scan only (count)
-  kernel          — scan + per-shard scoring kernel, merges stripped
-  merge_single    — + single-level global window (the default at small
-                    shard counts: the _partition_topk gate doesn't trip)
-  merge_windowed2 — + windowed two-level merge (the rejected design,
-                    forced via n_groups — kept measurable so the
-                    PARTIAL_TOPK_THRESHOLD rationale stays reproducible)
-  merge_prereduce — + shuffle-free partition-local pre-reduction
-                    (forced by zeroing PARTIAL_TOPK_THRESHOLD — the
-                    plan that runs at the 10^6-shard design point)
+  scan   — bucket+term-pruned segment scan only (count)
+  kernel — scan + per-shard scoring kernel, merge stripped
+  full   — the whole job: Catalyst's WindowGroupLimit partial bounds
+           the final merge map-side (PLANS.md §1); the two hand-rolled
+           pre-reductions this script once compared were measured
+           strictly worse and deleted (SCALING.md §3, git history)
 """
 
 from __future__ import annotations
@@ -87,27 +83,15 @@ def main(master: str, n_docs: int, corpus_dir: str) -> None:
         ).select("shard", "term", "payload")
         out["scan"] = timed(lambda: seg.count())
 
-        # ---- kernel (scan + scoring, merges stripped) ----
+        # ---- kernel (scan + scoring, merge stripped) ----
         orig = Q._rank_topk
-        orig_thresh = Q.PARTIAL_TOPK_THRESHOLD
-        Q._rank_topk = lambda scored, k, n_groups=None: scored
+        Q._rank_topk = lambda scored, k: scored
         try:
             out["kernel"] = timed(lambda: idx.search(qset, k=10).count())
         finally:
             Q._rank_topk = orig
 
-        # ---- merge variants (each forced explicitly) ----
-        out["merge_single"] = timed(lambda: idx.search(qset, k=10).count())
-        Q._rank_topk = lambda scored, k, n_groups=None: orig(scored, k, n_groups=64)
-        try:
-            out["merge_windowed2"] = timed(lambda: idx.search(qset, k=10).count())
-        finally:
-            Q._rank_topk = orig
-        Q.PARTIAL_TOPK_THRESHOLD = 0
-        try:
-            out["merge_prereduce"] = timed(lambda: idx.search(qset, k=10).count())
-        finally:
-            Q.PARTIAL_TOPK_THRESHOLD = orig_thresh
+        out["full"] = timed(lambda: idx.search(qset, k=10).count())
 
         # ---- how many tasks did the kernel stage get? ----
         out["shuffle_partitions"] = int(spark.conf.get("spark.sql.shuffle.partitions"))
