@@ -72,16 +72,23 @@ def main() -> None:
         # worker spin-up once, so the per-mode numbers measure the
         # steady-state query path, not JVM/Arrow initialization
         idx.search(qset[:10], k=10).count()
-        for mode in ("cascade", "exhaustive", "auto"):
-            best, n_rows = None, 0
-            for _ in range(2):  # MIN of repeats: the box is noisy (±40%)
+        # INTERLEAVED min-of-3 (SCALING.md §4 protocol): sequential
+        # min-of-2 per mode let one noisy host window land entirely on
+        # one mode (BENCH_r03's cascade outlier); interleaving spreads
+        # host weather evenly across modes
+        modes = ("cascade", "exhaustive", "auto")
+        best: dict[str, float] = {}
+        n_rows: dict[str, int] = {}
+        for _ in range(3):
+            for mode in modes:
                 t0 = time.time()
-                n_rows = idx.search(qset, k=10, mode=mode).count()
+                n_rows[mode] = idx.search(qset, k=10, mode=mode).count()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[f"query_{mode}_100q"] = round(best, 3)
-            extras[f"qps_{mode}"] = round(100 / timings[f"query_{mode}_100q"], 2)
-            extras[f"query_{mode}_rows"] = n_rows
+                best[mode] = min(best.get(mode, dt), dt)
+        for mode in modes:
+            timings[f"query_{mode}_100q"] = round(best[mode], 3)
+            extras[f"qps_{mode}"] = round(100 / best[mode], 2)
+            extras[f"query_{mode}_rows"] = n_rows[mode]
 
         # --- catalog queries over driver testdata ----------------------
         from pylate_spark.entry_queries import (
@@ -121,6 +128,19 @@ def main() -> None:
             extras[f"ann_recall_at10_probe{probe}"] = round(
                 sum(r["recall"] for r in rows) / len(rows), 3
             )
+        # auto-probe: pick n_probe FOR a recall target from the measured
+        # curve (the reference's preset-selection idea, searcher.py:60-83)
+        from pylate_spark.operators.similarity import ivf_topk_auto, probe_recall_curve
+
+        t0 = time.time()
+        curve = probe_recall_curve(emb, qs, k=10, n_planes=6)
+        approx, n_probe = ivf_topk_auto(
+            emb, qs, target_recall=0.9, k=10, n_planes=6, curve=curve
+        )
+        rows = recall_at_k(exact, approx, k=10).collect()
+        timings["ann_auto_probe_target90"] = round(time.time() - t0, 3)
+        extras["ann_auto_n_probe"] = n_probe
+        extras["ann_auto_recall_at10"] = round(sum(r["recall"] for r in rows) / len(rows), 3)
         emb.unpersist()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

@@ -150,6 +150,7 @@ def dedup_clusters(
     if docs is not None:
         verts = verts.unionByName(docs.select(F.col(id_col).alias("v"))).distinct()
     labels = verts.select("v", F.col("v").alias("lbl"))
+    changed = -1  # -1 = loop never ran (max_iter=0)
     for _ in range(max_iter):
         nmin = (
             edges.join(labels.withColumnRenamed("v", "t"), "t")
@@ -181,6 +182,15 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means split
+        # components — silently returning them would hand callers wrong
+        # cluster assignments with no signal
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            + (f"({changed} labels still changing); " if changed >= 0 else "")
+            + "raise max_iter (pointer doubling needs O(log diameter) rounds)"
+        )
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster_id"),

@@ -178,6 +178,95 @@ def ivf_topk(
     )
 
 
+def probe_recall_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    probes: list[int] | None = None,
+    **cols,
+) -> list[dict]:
+    """Measure the accuracy/probe trade of :func:`ivf_topk` on a query
+    sample: mean recall@k vs ``n_probe``. This is the *persistable
+    calibration curve* (JSON-serializable list of
+    ``{"n_probe": p, "recall": r}``) that :func:`ivf_topk`'s
+    ``target_recall`` consults — the reference's k-banded parameter
+    presets (``searcher.py:60-83``) applied to its ``n_ivf_probe`` knob
+    (``plaid.py:126-132``). Cost: ONE exact brute-force pass over
+    ``emb`` for the sample queries plus one bucket-pruned pass per
+    probe point — calibrate on a small query sample, persist, reuse.
+
+    Default probe points are powers of two up to ``2**n_planes`` (full
+    coverage, where recall is 1.0 by construction — every bucket is
+    probed), so the curve always reaches any feasible target."""
+    if probes is None:
+        probes, p = [], 1
+        while p < 2**n_planes:
+            probes.append(p)
+            p *= 2
+        probes.append(2**n_planes)
+    exact = cosine_topk(emb, queries, k=k, **cols).cache()
+    curve = []
+    try:
+        for p in sorted(set(probes)):
+            approx = ivf_topk(
+                emb, queries, k=k, n_planes=n_planes, dim=dim, seed=seed, n_probe=p, **cols
+            )
+            rows = recall_at_k(exact, approx, k=k).collect()
+            r = sum(x["recall"] for x in rows) / max(len(rows), 1)
+            curve.append({"n_probe": int(p), "recall": round(float(r), 4)})
+    finally:
+        exact.unpersist(blocking=False)
+    return curve
+
+
+def choose_n_probe(curve: list[dict], target_recall: float, n_planes: int = 6) -> int:
+    """Smallest measured ``n_probe`` whose recall meets
+    ``target_recall``; falls back to ``2**n_planes`` (full coverage =
+    exact) when no curve point reaches the target."""
+    for pt in sorted(curve, key=lambda d: d["n_probe"]):
+        if pt["recall"] >= target_recall:
+            return int(pt["n_probe"])
+    return 2**n_planes
+
+
+def ivf_topk_auto(
+    emb: DataFrame,
+    queries: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    curve: list[dict] | None = None,
+    calibration_queries: int = 32,
+    qid_col: str = "qid",
+    **cols,
+) -> tuple[DataFrame, int]:
+    """:func:`ivf_topk` with the probe count chosen FOR a recall
+    target instead of handed in — the auto-parameter shape of the
+    reference's searcher presets (``searcher.py:60-83``). Pass a
+    persisted ``curve`` from :func:`probe_recall_curve`; without one, a
+    curve is calibrated on the first ``calibration_queries`` queries
+    (deterministic ``qid`` order) — one brute-force sample pass, so at
+    scale calibrate once and persist. Returns ``(results, n_probe)``
+    so callers can log/persist the chosen operating point."""
+    if curve is None:
+        sample = queries.orderBy(qid_col).limit(calibration_queries)
+        curve = probe_recall_curve(
+            emb, sample, k=k, n_planes=n_planes, dim=dim, seed=seed,
+            qid_col=qid_col, **cols,
+        )
+    n_probe = choose_n_probe(curve, target_recall, n_planes=n_planes)
+    out = ivf_topk(
+        emb, queries, k=k, n_planes=n_planes, dim=dim, seed=seed,
+        n_probe=n_probe, qid_col=qid_col, **cols,
+    )
+    return out, n_probe
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
     """Per-query recall@k of an approximate top-k result against the
     exact one (both in (qid, rank, vec_id, ...) shape) — the measured

@@ -93,10 +93,14 @@ def _purge_staged_batches(staging_dir: str, first_batch: int) -> None:
 
 def _epoch_parts(epoch_key: str) -> tuple[str, int] | None:
     """Split a streaming epoch key ``"{checkpoint_dir}#{epoch_id}"``
-    into (stream id, epoch number); None if the tail is not an int."""
+    into (stream id, epoch number); None if the tail is not a
+    NON-NEGATIVE int. Negative tails are deliberately rejected:
+    Structured Streaming epoch ids are non-negative, and accepting
+    ``"x#-2"`` would make ``_epoch_applied`` compare ``-2 <= -1``
+    (the never-applied default) and silently skip a never-applied
+    add — exact-set semantics are the safe fallback for such keys."""
     sid, sep, e = epoch_key.rpartition("#")
-    body = e[1:] if e.startswith("-") else e
-    if sep and body.isdigit():
+    if sep and e.isdigit():
         return sid, int(e)
     return None
 

@@ -64,6 +64,14 @@ TOMBSTONE_COMPACT_ADVICE = 1_000_000
 #: broadcast instead of riding the task closure (see search())
 SUBSET_BROADCAST_THRESHOLD = 4096
 
+#: query batches whose planning payload (total (query, term) pairs +
+#: idf entries) exceeds this ride a broadcast instead of the kernel
+#: closure — the closure is re-pickled into EVERY task, so a 10^5-term
+#: batch in the closure multiplies driver→task traffic by the task
+#: count; a broadcast ships it to each executor once (same treatment
+#: the subset allow-list got)
+QUERYSET_BROADCAST_THRESHOLD = 4096
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Global top-k merge: score desc, docid asc tie-break.
 
@@ -116,6 +124,8 @@ class InvertedIndex:
         )
         #: one live large-subset broadcast per handle (see search())
         self._subset_bc = None
+        #: one live large-query-batch broadcast per handle (see search())
+        self._qset_bc = None
         if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
             import warnings
 
@@ -271,20 +281,45 @@ class InvertedIndex:
         avgdl, kk, md, rt = self.avgdl, k, mode, round_to
         ssz = self.config.shard_size  # dense-accumulator extent per kernel
 
+        # large query batches: ship qmap+idf via ONE broadcast per
+        # search instead of the task closure (the closure is re-pickled
+        # into every task — at 10^5 query terms × 10^6 shard tasks
+        # that's the same repeated-driver-traffic hazard the subset
+        # allow-list had). Small batches stay in the closure: a
+        # broadcast has its own driver round-trip. The handle keeps ONE
+        # live query-set broadcast (previous unpersisted, not
+        # destroyed — same lazy-re-ship semantics as _subset_bc).
+        vocab_terms = list(idf)  # scan pushdown predicate (plan-side)
+        n_payload = sum(len(ts) for ts in qmap.values()) + len(idf)
+        qset_bc = None
+        if n_payload > QUERYSET_BROADCAST_THRESHOLD:
+            if self._qset_bc is not None:
+                self._qset_bc.unpersist(blocking=False)
+            qset_bc = self._qset_bc = self.spark.sparkContext.broadcast((qmap, idf))
+            qmap, idf = None, None  # keep the payload out of the closure
+
         seg = (
             self._seg
-            .where(F.col("bucket").isin(buckets) & F.col("term").isin(list(idf)))
+            .where(F.col("bucket").isin(buckets) & F.col("term").isin(vocab_terms))
             .select("shard", "term", "df", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off", "payload")
         )
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            qm, qidf = qset_bc.value if qset_bc is not None else (qmap, idf)
             return score_shard(
-                pdf, qmap, idf, avgdl, kk, params, mode=md,
+                pdf, qm, qidf, avgdl, kk, params, mode=md,
                 tombstones=tomb_bc.value if tomb_bc is not None else None,
                 allowed=allowed_bc.value if allowed_bc is not None else allowed,
                 round_to=rt, shard_size=ssz,
             )
 
+        # observability: what actually rides EVERY task. Tests pin that
+        # a large query batch keeps this small (payload in the
+        # broadcast, not the closure) — the cost of the dumps itself is
+        # bounded by QUERYSET_BROADCAST_THRESHOLD on the closure path.
+        from pyspark import cloudpickle
+
+        self._last_closure_bytes = len(cloudpickle.dumps(kernel))
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
         return _rank_topk(scored, k)
 

@@ -80,10 +80,18 @@ def main(argv: list[str] | None = None) -> dict:
         # it counts as a MISS in recall/nDCG denominators — an inner
         # join would silently shrink the judgment set and overstate
         # quality on a corpus-mismatched index.
+        # The docmap is one row per corpus DOCUMENT (10^12 at the
+        # design point) — never broadcast it. The qrels are the small
+        # side: broadcast the judged KEYS into a left-semi join that
+        # prunes the docmap scan down to ≤ |qrels| rows (no docmap
+        # shuffle anywhere), then that pruned map is itself small
+        # enough to broadcast into the left join.
         docmap = InvertedIndex(spark, index_dir).docmap().select(
             F.col("url").alias(args.key_col), "docid"
         )
-        qrels = qrels.join(F.broadcast(docmap), args.key_col, "left").drop(args.key_col)
+        judged_keys = qrels.select(args.key_col).distinct()
+        judged_map = docmap.join(F.broadcast(judged_keys), args.key_col, "left_semi")
+        qrels = qrels.join(F.broadcast(judged_map), args.key_col, "left").drop(args.key_col)
         n_unresolved = qrels.where(F.col("docid").isNull()).count()
         if n_unresolved:
             print(f"# {n_unresolved} qrels rows reference docs not in the index "

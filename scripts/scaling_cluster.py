@@ -137,6 +137,10 @@ def main() -> None:
             results = batch
         else:
             results = [a if a["qps"] >= b["qps"] else b for a, b in zip(results, batch)]
+    # sort by total cores before picking the endpoints: a user-supplied
+    # PYLATE_CLUSTER_LEGS like "4:2,1:2" must not silently invert the
+    # reported speedup/efficiency
+    results = sorted(results, key=lambda r: r["cores"])
     lo, hi = results[0], results[-1]
     factor = hi["cores"] / lo["cores"]
     summary = {

@@ -55,3 +55,34 @@ def test_probe_knob_is_monotone(spark, emb, queries, exact):
     }
     assert r[1] <= r[7] <= r[22], r
     assert r[1] >= 0.3  # single-bucket probe is not vacuous either
+
+
+def test_target_recall_auto_probe(spark, emb, queries, exact):
+    """target_recall picks n_probe from the measured curve: asking for
+    0.9 must ACHIEVE >= 0.9 (on the calibration distribution), and the
+    curve's full-coverage anchor (2^n_planes probes = every bucket =
+    exact) guarantees any feasible target is reachable."""
+    from pylate_spark.operators.similarity import (
+        choose_n_probe,
+        ivf_topk_auto,
+        probe_recall_curve,
+    )
+
+    curve = probe_recall_curve(emb, queries, k=K, n_planes=N_PLANES)
+    # monotone-ish and anchored: full coverage is exact by construction
+    assert curve[-1]["n_probe"] == 2**N_PLANES and curve[-1]["recall"] == 1.0, curve
+
+    approx, n_probe = ivf_topk_auto(
+        emb, queries, target_recall=0.90, k=K, n_planes=N_PLANES, curve=curve
+    )
+    assert n_probe == choose_n_probe(curve, 0.90, n_planes=N_PLANES)
+    assert n_probe < 2**N_PLANES  # 0.9 is reachable without a full scan here
+    assert _mean_recall(exact, approx) >= 0.90
+
+    # self-calibrating path (no persisted curve): calibrates on a query
+    # sample, then returns the chosen operating point
+    approx2, p2 = ivf_topk_auto(
+        emb, queries, target_recall=0.90, k=K, n_planes=N_PLANES, calibration_queries=20
+    )
+    assert _mean_recall(exact, approx2) >= 0.90
+    assert 1 <= p2 <= 2**N_PLANES

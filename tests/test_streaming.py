@@ -141,3 +141,51 @@ def test_stream_exact_dedupe_ttl_path(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT url FROM ttl_out").collect()
     assert len(rows) == 3 and not any("zzz" in r["url"] for r in rows)
+
+
+def test_stream_dedupe_stats_e2e(spark, tmp_path):
+    """stream_dedupe_stats chains an event-time windowed aggregation
+    AFTER the applyInPandasWithState dedupe — a multiple-stateful-
+    operator pipeline whose acceptance is Spark-version-sensitive, so
+    it gets its own end-to-end run. Two micro-batches: batch 2's
+    timestamps push the watermark past batch 1's window, so the first
+    window finalizes and is emitted in append mode with the
+    post-dedupe survivor count (3 arrivals, 1 in-batch dup → 2)."""
+    import pandas as pd
+
+    from pylate_spark.streaming.dedupe import stream_dedupe_stats, stream_exact_dedupe
+
+    base = synth_pages_pandas(3)
+    src = tmp_path / "stats_src"
+    src.mkdir()
+
+    b1 = pd.concat([base.iloc[[0, 1]], base.iloc[[0]]], ignore_index=True)
+    b1.loc[2, "url"] = "https://mirror.example/zzz-copy-of-0"
+    b1["warc_ts"] = pd.Timestamp("2024-01-01 00:01:00")
+    b2 = base.iloc[[2]].copy()
+    b2["warc_ts"] = pd.Timestamp("2024-01-01 02:00:00")  # watermark mover
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    stats = stream_dedupe_stats(
+        stream_exact_dedupe(stream), window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedupe_stats_out")
+        .option("checkpointLocation", str(tmp_path / "stats_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        str(r["window_start"]): r["n_unique_pages"]
+        for r in spark.sql("SELECT * FROM dedupe_stats_out").collect()
+    }
+    assert rows.get("2024-01-01 00:00:00") == 2, rows
