@@ -9,14 +9,38 @@ global url sort order*: deterministic (independent of partitioning and
 cluster size — the rank of a unique key in a total order is a pure
 function of the data), dense, and range-shardable.
 
-Implementation is the classic two-phase zipWithIndex shape without
-leaving the DataFrame API:
+Implementation (round 4 — the bandwidth-lean form): the classic
+two-phase zipWithIndex shape, but with the partition geometry fixed as
+DRIVER-SIDE LITERALS so the heavy columns cross the memory bus once:
 
-1. range-repartition + local sort by ``url`` (Spark's sort machinery —
-   scales to any size; no global single-partition window),
-2. per-partition local rank via a window on ``spark_partition_id()``,
-3. tiny per-partition count collect → cumulative offsets → broadcast
-   join.
+1. **boundaries** — sample ``key_col`` (a pruned, keys-only scan) and
+   pick ``partitions-1`` sorted split keys at the driver. The split
+   keys are broadcast; bucket-of-key is a vectorized
+   ``np.searchsorted`` pandas UDF (binary search — scales to any
+   partition count, unlike a ``CASE WHEN`` chain of comparisons).
+2. **counts** — exact per-bucket counts from a keys-only scan
+   (map-side partial agg; the text column never leaves the parquet
+   footer). Cumulative offsets ride a tiny broadcast-joined table.
+3. **rank** — ONE wide pass over the full rows: bucket → exchange on
+   bucket → per-bucket ``row_number`` ordered by key → ``docid =
+   offset[bucket] + rank - 1``.
+
+Because the boundaries are literals (not a sampled-at-execution range
+partitioner), the counts pass and the rank pass agree *by
+construction* — no persist of the full corpus is needed to pin the
+partitioning. The round-3 form persisted the range-partitioned text
+``DISK_ONLY`` and re-read it twice; that was ~2 extra full-corpus
+passes of pure memory/disk traffic, measured as the worst-scaling
+build phase on a bandwidth-capped box (SCALING.md §3). Note the final
+docid is independent of the boundary choice entirely: rank-in-bucket +
+offset-of-bucket is the global rank for ANY bucketing that respects
+the key order.
+
+Contract: ``pages`` must be deterministically re-readable (a table /
+file scan — the design-point input), since the counts pass and the
+rank pass each read it. ``build_index`` verifies the resulting ids are
+dense (max docid == row count - 1) before committing the staged
+corpus.
 
 ``shard = docid // shard_size`` then gives contiguous docid ranges —
 the salting dimension of the build (SURVEY §7.3) and the scatter
@@ -25,8 +49,36 @@ dimension of the query.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: boundary-sample size per target partition (the classic range
+#: partitioner's ~20/partition; balance error shrinks as 1/sqrt of it,
+#: and imbalance only costs evenness, never correctness)
+_SAMPLES_PER_BUCKET = 24
+
+
+def _sample_boundaries(pages: DataFrame, key_col: str, partitions: int) -> list[str]:
+    """``partitions - 1`` sorted split keys from a seeded sample of a
+    keys-only scan. Empty when the input is tiny (single bucket)."""
+    if partitions <= 1:
+        return []
+    n = pages.count()
+    if n <= 1:
+        return []
+    target = _SAMPLES_PER_BUCKET * partitions
+    frac = min(1.0, target / n)
+    keys = sorted(
+        r[0]
+        for r in pages.select(key_col).sample(withReplacement=False, fraction=frac, seed=42).collect()
+    )
+    if len(keys) < 2:
+        return []
+    step = len(keys) / partitions
+    bnd = sorted({keys[int(i * step)] for i in range(1, partitions)})
+    return bnd
 
 
 def assign_docids(
@@ -34,59 +86,58 @@ def assign_docids(
     shard_size: int,
     key_col: str = "url",
     partitions: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Return ``(pages + docid + shard, cache_handle)``.
+) -> DataFrame:
+    """Return ``pages`` + ``docid`` + ``shard``.
 
     ``docid`` is the row's rank in the global ``key_col`` sort order;
-    ``shard = docid // shard_size``. The second element is the persisted
-    intermediate — callers unpersist it after materializing the result.
-    ``partitions`` controls the range-partitioner width; defaults to the
-    session shuffle parallelism.
+    ``shard = docid // shard_size``. ``partitions`` controls the bucket
+    count (defaults to max(session shuffle parallelism, input splits) —
+    with few shuffle partitions a narrow config would otherwise pack
+    the whole corpus into a handful of ~GB sort tasks).
     """
-    from pyspark import StorageLevel
-
     spark = pages.sparkSession
     if partitions is None:
-        # at least one range partition per input split: with few
-        # shuffle partitions (a narrow cluster) the default would pack
-        # the whole corpus text into a handful of ~GB sort tasks —
-        # measured as the worst-scaling build phase (profile_build.py)
         partitions = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             pages.rdd.getNumPartitions(),
         )
 
-    ordered = (
-        pages.repartitionByRange(partitions, F.col(key_col))
-        .sortWithinPartitions(key_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # One pass over the sorted data for counts, a second for ranks; the
-    # persist pins the (sampled) range partitioning so both passes see
-    # identical partition contents. The caller must materialize the
-    # result (e.g. write the docmap) and then release the cache via the
-    # returned handle's ``unpersist``. DISK_ONLY, deliberately: the
-    # pinned corpus is full document text (≫ executor heaps at scale);
-    # streamed from executor-local disk (tmpfs in the local harness,
-    # NVMe on a cluster) both passes cost one sequential read, whereas
-    # a memory cache makes staging throughput depend on aggregate
-    # executor cache memory — which shrinks with cluster size and
-    # measurably broke build scaling at the 1-executor leg.
-    ordered = ordered.persist(StorageLevel.DISK_ONLY)
+    boundaries = _sample_boundaries(pages, key_col, partitions)
+    # broadcast, not closure: at 10^5+ partitions the boundary array is
+    # MBs and would be re-pickled into every task otherwise
+    bnd_bc = spark.sparkContext.broadcast(np.array(boundaries, dtype=object))
+
+    @F.pandas_udf("int")
+    def bucket_of(keys: pd.Series) -> pd.Series:
+        # vectorized binary search; python str comparison is code-point
+        # order == Spark's UTF8 binary order for valid UTF-8, so the
+        # bucket boundaries and the per-bucket Spark sort agree
+        b = np.searchsorted(bnd_bc.value, keys.to_numpy(dtype=object), side="right")
+        return pd.Series(b.astype(np.int32))
+
+    # exact per-bucket counts from a keys-only scan (text pruned away)
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["_b"]: r["cnt"]
+        for r in pages.select(bucket_of(F.col(key_col)).alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(key_col)
-    out = (
-        ordered.withColumn("_rank", F.row_number().over(w))
-        .withColumn("docid", (offmap[F.col("_pid")] + F.col("_rank") - 1).cast("long"))
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((int(b), acc))
+        acc += counts[b]
+    if not offsets:
+        offsets = [(0, 0)]
+    off_df = spark.createDataFrame(offsets, "_b int, _off long")
+
+    # the single full-row pass: bucket → exchange → sort → rank
+    w = Window.partitionBy("_b").orderBy(key_col)
+    return (
+        pages.withColumn("_b", bucket_of(F.col(key_col)))
+        .join(F.broadcast(off_df), "_b")
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn("docid", (F.col("_off") + F.col("_rank") - 1).cast("long"))
         .withColumn("shard", (F.col("docid") / F.lit(shard_size)).cast("long"))
-        .drop("_pid", "_rank")
+        .drop("_b", "_off", "_rank")
     )
-    return out, ordered

@@ -210,13 +210,25 @@ def _stage_corpus(
     """Write the staged corpus ``(batch, shard, docid, url, dl, text)``
     partitioned by batch. ``dl`` is computed with the *native*
     ``regexp_extract_all`` so corpus stats never re-tokenize (the UDF
-    tokenizer is asserted equal to it in tests)."""
+    tokenizer is asserted equal to it in tests).
+
+    Bandwidth shape (round 4): the full rows cross the wire exactly
+    once — :func:`assign_docids` fixes the bucket geometry from a
+    keys-only scan, so the text goes scan → one exchange → rank + dl +
+    staged write fused in a single wide stage. (The round-3 form
+    range-exchanged the text, pinned it DISK_ONLY and re-read it twice
+    more — measured as the worst-scaling build phase on a
+    bandwidth-capped box, SCALING.md §3.) The staged write is verified
+    dense (max docid == row count - 1) before the caller commits the
+    staging manifest entry — the cheap guard for the "input must be
+    deterministically re-readable" contract of the two-pass docid
+    assignment."""
     # project to the two columns the build needs before any exchange —
     # html and other payload columns would otherwise ride through the
-    # range partitioner, the persist, and the staging write (Catalyst
-    # prunes scans, but the explicit select also bounds the cached rows)
+    # exchange and the staging write (Catalyst prunes scans, but the
+    # explicit select also bounds what the wide stage carries)
     pages = pages.select(key_col, text_col)
-    with_ids, cache = assign_docids(pages, config.shard_size, key_col=key_col)
+    with_ids = assign_docids(pages, config.shard_size, key_col=key_col)
     if docid_base:
         with_ids = with_ids.withColumn("docid", F.col("docid") + F.lit(docid_base)).withColumn(
             "shard", (F.col("docid") / F.lit(config.shard_size)).cast("long")
@@ -233,8 +245,22 @@ def _stage_corpus(
             F.col(text_col).alias("text"),
         )
     )
-    staged.write.mode("append").partitionBy("batch").parquet(staging_dir or paths.staging)
-    cache.unpersist(blocking=False)
+    out = staging_dir or paths.staging
+    staged.write.mode("append").partitionBy("batch").parquet(out)
+    # density guard (columns-pruned scan of what was just written): a
+    # non-deterministic input DataFrame would desynchronize the counts
+    # pass from the rank pass and corrupt docids silently
+    # the docid >= base predicate hits parquet row-group stats, so an
+    # incremental add (append into existing staging) skips old batches
+    g = spark.read.parquet(out).where(F.col("docid") >= docid_base).agg(
+        F.count(F.lit(1)).alias("n"), F.max("docid").alias("mx"), F.min("docid").alias("mn")
+    ).collect()[0]
+    n = int(g["n"] or 0)
+    if n and not (int(g["mn"]) == docid_base and int(g["mx"]) == docid_base + n - 1):
+        raise RuntimeError(
+            f"staged docids not dense: n={n}, min={g['mn']}, max={g['mx']}, "
+            f"base={docid_base} — is the input DataFrame deterministic across reads?"
+        )
 
 
 def _build_one_batch(

@@ -126,13 +126,12 @@ def test_evaluate_index_end_to_end(spark, tmp_path):
 
     from pylate_spark.operators.docids import assign_docids
 
-    with_ids, cache = assign_docids(pages, 64, key_col="url")
+    with_ids = assign_docids(pages, 64, key_col="url")
     qdf = spark.createDataFrame(qpdf)
     qrels = term_overlap_qrels(
         with_ids.select(F.col("docid").alias("doc_id"), "text"), qdf, max_docid=300
     )
     out = evaluate_index(spark, d, queries, qrels, k=5).collect()
-    cache.unpersist()
     assert len(out) > 0
     for r in out:
         assert r["ndcg"] is None or 0.0 <= r["ndcg"] <= 1.0

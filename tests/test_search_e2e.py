@@ -133,12 +133,11 @@ def test_scan_topk_matches_oracle(spark, pages_t2, pages_t2_pdf, queries_pdf):
     """Index-free declarative path (pure DataFrame ops)."""
     from pylate_spark.operators.docids import assign_docids
 
-    with_ids, cache = assign_docids(pages_t2, shard_size=256)
+    with_ids = assign_docids(pages_t2, shard_size=256)
     docs = with_ids.select("docid", "text")
     queries = pages_t2.sparkSession.createDataFrame(queries_pdf.iloc[:15])
     got = _collect_ranked(bm25_scan_topk(docs, queries, k=K))
     want, _ = _oracle_results(pages_t2_pdf, queries_pdf.iloc[:15], k=K)
-    cache.unpersist()
     assert_rank_identical(got, want)
 
 
@@ -163,3 +162,51 @@ def test_doc_vectors_roundtrip(spark, built_index, pages_t2_pdf):
         want = Counter(toks)
         assert {t: tf for t, (tf, _) in got[docid].items()} == dict(want)
         assert all(dl == len(toks) for _, dl in got[docid].values())
+
+
+def test_large_query_batch_broadcast(spark, tmp_path, monkeypatch):
+    """A query batch whose planning payload (query-term pairs + idf)
+    exceeds QUERYSET_BROADCAST_THRESHOLD must ride ONE broadcast per
+    search, keeping the per-task closure small — the same treatment the
+    subset allow-list gets. Built here: a ~10^5-distinct-term corpus
+    where query i's terms are exactly doc i's terms (df=1 each), so
+    rank 1 for query i must be docid i — a structural oracle that needs
+    no python rescoring at this vocabulary size."""
+    import pandas as pd
+
+    import pylate_spark.plans.query as Q
+
+    n_docs, tpd = 850, 120  # 102,000 distinct terms / query-term pairs
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://bigq.example/{i:06d}" for i in range(n_docs)],
+            "text": [" ".join(f"t{i:04d}x{j:03d}" for j in range(tpd)) for i in range(n_docs)],
+        }
+    )
+    d = str(tmp_path / "bigq_idx")
+    build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        d,
+        config=IndexConfig(shard_size=128, block_size=32, term_buckets=8),
+        shards_per_batch=4,
+    )
+    idx = InvertedIndex(spark, d)
+    qs = [(i, pdf["text"].iloc[i]) for i in range(n_docs)]
+
+    res = idx.search(qs, k=3).where("rank = 1").collect()
+    assert idx._qset_bc is not None  # broadcast path engaged at default threshold
+    # the closure shipped to every task must NOT contain the 10^5-term
+    # payload (that's what the broadcast is for)
+    assert idx._last_closure_bytes < 100_000, idx._last_closure_bytes
+    assert {(r["query_id"], r["docid"]) for r in res} == {(i, i) for i in range(n_docs)}
+
+    # identity between the broadcast path and the closure path
+    sub = qs[:40]
+    monkeypatch.setattr(Q, "QUERYSET_BROADCAST_THRESHOLD", 1)
+    got_bc = _collect_ranked(idx.search(sub, k=5))
+    small_closure = idx._last_closure_bytes
+    monkeypatch.setattr(Q, "QUERYSET_BROADCAST_THRESHOLD", 1 << 40)
+    got_closure = _collect_ranked(idx.search(sub, k=5))
+    assert got_bc == got_closure
+    assert idx._last_closure_bytes > small_closure  # payload moved back into the closure
