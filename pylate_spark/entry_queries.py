@@ -172,6 +172,19 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully distributed query path (scatter by term: distributed
+    tokenize → semi-join-pruned segment decode → join scoring → top-k
+    merge; nothing driver-side) over the SAME built index — value-hash
+    checked against the same DuckDB oracle as the kernel path, so the
+    two plans are pinned rank-identical."""
+    from pylate_spark.plans.query import InvertedIndex
+
+    return InvertedIndex(spark, _indexed(spark, sf_dir)).search_join(
+        _queryset_df(spark), k=K, round_to=4
+    )
+
+
 def q_term_stats_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global term statistics read back from the BUILT index — integer
     outputs, so the whole SPIMI pipeline (tokenize → shard shuffle →
@@ -861,6 +874,7 @@ def catalog() -> dict[str, tuple]:
         "bm25_subset": (q_bm25_subset, _bm25_sql(extra_where="tf.doc_id % 3 = 0")),
         "bm25_conjunctive": (q_bm25_conjunctive, _bm25_conjunctive_sql()),
         "bm25_topk_indexed": (q_bm25_topk_indexed, _bm25_sql()),
+        "bm25_join_topk": (q_bm25_join_topk, _bm25_sql()),
         "term_stats_indexed": (q_term_stats_indexed, SQL_TERM_DF_TOP100),
         "doc_vectors_indexed": (q_doc_vectors_indexed, SQL_DOC_VECTORS),
         "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),

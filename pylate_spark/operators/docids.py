@@ -60,12 +60,15 @@ from pyspark.sql import functions as F
 _SAMPLES_PER_BUCKET = 24
 
 
-def _sample_boundaries(pages: DataFrame, key_col: str, partitions: int) -> list[str]:
+def _sample_boundaries(
+    pages: DataFrame, key_col: str, partitions: int, n: int | None = None
+) -> list[str]:
     """``partitions - 1`` sorted split keys from a seeded sample of a
     keys-only scan. Empty when the input is tiny (single bucket)."""
     if partitions <= 1:
         return []
-    n = pages.count()
+    if n is None:
+        n = pages.count()
     if n <= 1:
         return []
     target = _SAMPLES_PER_BUCKET * partitions
@@ -96,13 +99,23 @@ def assign_docids(
     the whole corpus into a handful of ~GB sort tasks).
     """
     spark = pages.sparkSession
+    n = pages.count()
     if partitions is None:
+        # 4× the shuffle width, NOT 1×: sampled boundaries carry ~20%
+        # size error and bucket→partition hashing collides, so at
+        # exactly one task per core the largest bucket gates the whole
+        # wide stage (measured: 8 buckets / 8 pinned cores → 2.1× skew
+        # → the rank+write pass scaled 1.24×). With ≥4 buckets per
+        # core the scheduler packs around the skew — the max task is
+        # far below a core's fair share. Capped at ~256 rows/bucket so
+        # tiny inputs don't pay hundreds of empty tasks.
         partitions = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             pages.rdd.getNumPartitions(),
         )
+        partitions = max(1, min(partitions, -(-n // 256)))
 
-    boundaries = _sample_boundaries(pages, key_col, partitions)
+    boundaries = _sample_boundaries(pages, key_col, partitions, n=n)
     # broadcast, not closure: at 10^5+ partitions the boundary array is
     # MBs and would be re-pickled into every task otherwise
     bnd_bc = spark.sparkContext.broadcast(np.array(boundaries, dtype=object))
@@ -123,21 +136,39 @@ def assign_docids(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    offsets, acc = [], 0
-    for b in sorted(counts):
-        offsets.append((int(b), acc))
-        acc += counts[b]
-    if not offsets:
-        offsets = [(0, 0)]
-    off_df = spark.createDataFrame(offsets, "_b int, _off long")
+    n_buckets = len(boundaries) + 1
+    offs = np.zeros(n_buckets, dtype=np.int64)
+    acc = 0
+    for b in range(n_buckets):
+        offs[b] = acc
+        acc += counts.get(b, 0)
+    offs_bc = spark.sparkContext.broadcast(offs)
 
-    # the single full-row pass: bucket → exchange → sort → rank
-    w = Window.partitionBy("_b").orderBy(key_col)
+    @F.pandas_udf("long")
+    def offset_of(keys: pd.Series) -> pd.Series:
+        # the UDF emits the bucket's cumulative OFFSET rather than the
+        # bucket id: offsets are strictly increasing over non-empty
+        # buckets, so _off is an equivalent partition/window key — and
+        # skipping the (bucket → offset) join avoids the inner-join
+        # isnotnull filter Catalyst pushes below the UDF projection,
+        # which forced a SECOND evaluation of the UDF (two stacked
+        # ArrowEvalPython nodes, measured in the plan)
+        b = np.searchsorted(bnd_bc.value, keys.to_numpy(dtype=object), side="right")
+        return pd.Series(offs_bc.value[b])
+
+    # the single full-row pass: offset → exchange → sort → rank. The
+    # EXPLICIT repartition sets the exchange width to the bucket count
+    # (the window alone would exchange at spark.sql.shuffle.partitions
+    # — one task per core on a right-sized cluster, no slack); the
+    # window then reuses that partitioning (HashPartitioning(_off, P)
+    # satisfies its ClusteredDistribution — no second exchange,
+    # plan-pinned in tests) and only adds the per-partition sort.
+    w = Window.partitionBy("_off").orderBy(key_col)
     return (
-        pages.withColumn("_b", bucket_of(F.col(key_col)))
-        .join(F.broadcast(off_df), "_b")
+        pages.withColumn("_off", offset_of(F.col(key_col)))
+        .repartition(partitions, F.col("_off"))
         .withColumn("_rank", F.row_number().over(w))
         .withColumn("docid", (F.col("_off") + F.col("_rank") - 1).cast("long"))
         .withColumn("shard", (F.col("docid") / F.lit(shard_size)).cast("long"))
-        .drop("_b", "_off", "_rank")
+        .drop("_off", "_rank")
     )

@@ -323,6 +323,77 @@ class InvertedIndex:
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
         return _rank_topk(scored, k)
 
+    def search_join(
+        self, queries: DataFrame, k: int = 10, round_to: int | None = None
+    ) -> DataFrame:
+        """Fully distributed query path — scatter by TERM instead of by
+        shard, with NOTHING on the driver: tokenization is a
+        distributed UDF over the queries DataFrame, idf arrives via a
+        join with the persisted term_stats, postings are decoded by a
+        ``mapInPandas`` stage and scored/merged by native joins + aggs.
+        Rank-identical to ``search(mode="exhaustive")``.
+
+        When to use which: :meth:`search` plans driver-side (collect +
+        tokenize + one closure/broadcast) — the right trade at the
+        reference's own batching scale (50/probe,
+        ``retrieve/base.py:98-105``) because the replicated query set
+        lets each shard kernel prune with block-max metadata. At
+        10^5–10^6-query batches the driver becomes the bottleneck and
+        replicate-to-every-shard stops paying; this path's cost scales
+        with |queries| × |postings of their terms| and never
+        materializes anything driver-side. It decodes exhaustively (no
+        block-max pruning — pruning needs per-query state that a
+        term-scatter plan doesn't localize), which is the standard
+        batch-OLAP trade.
+
+        Plan shape: query terms semi-join-prune the segment scan and
+        the term_stats read (both ≤ |distinct query terms| rows after
+        pruning — AQE broadcasts them when small, shuffles on ``term``
+        when not); decoded postings anti-join tombstones; one
+        (query_id, docid) partial-agg shuffle; WindowGroupLimit-bounded
+        top-k merge (same final merge as search()).
+        """
+        from pylate_spark.plans.segments import decode_postings_gen
+
+        qt = queries.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(tokenize_udf(F.col("text"))).alias("term"),
+        ).distinct()
+        terms = qt.select("term").distinct()
+        stats = (
+            self.spark.read.parquet(active_dir(self.paths, self.manifest, "term_stats"))
+            .join(terms, "term", "left_semi")
+            .select("term", "df")
+        )
+        seg = self._seg.join(terms, "term", "left_semi").select(
+            "term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off"
+        )
+        postings = seg.mapInPandas(
+            decode_postings_gen, schema="term string, docid long, tf long, dl long"
+        )
+        from pylate_spark import storage
+
+        tomb_dir = active_dir(self.paths, self.manifest, "tombstones")
+        if storage.exists(tomb_dir):
+            tomb = self.spark.read.parquet(tomb_dir).select("docid").distinct()
+            postings = postings.join(tomb, "docid", "left_anti")
+        contrib = bm25_score_col(
+            F.col("tf"), F.col("dl"), F.col("df"),
+            float(self.n_docs), self.avgdl, self.config.bm25,
+        )
+        scored = (
+            postings.join(qt, "term")
+            .join(stats, "term")
+            .withColumn("contrib", contrib)
+            .groupBy("query_id", "docid")
+            .agg(F.sum("contrib").alias("score_d"))
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
+        else:
+            scored = scored.withColumn("score", F.col("score_d").cast("float"))
+        return _rank_topk(scored.drop("score_d"), k)
+
 
 def bm25_scan_topk(
     docs: DataFrame,

@@ -210,3 +210,59 @@ def test_large_query_batch_broadcast(spark, tmp_path, monkeypatch):
     got_closure = _collect_ranked(idx.search(sub, k=5))
     assert got_bc == got_closure
     assert idx._last_closure_bytes > small_closure  # payload moved back into the closure
+
+
+def test_search_join_rank_identical(spark, built_index, queries_pdf):
+    """The fully distributed (scatter-by-term) path must be
+    rank-identical to the driver-planned kernel path on the same
+    index — including after a delete (tombstones flow through the
+    anti-join instead of the kernel mask)."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qdf = spark.createDataFrame(queries_pdf)
+    qs = list(zip(queries_pdf["query_id"].tolist(), queries_pdf["text"].tolist()))
+    got = _collect_ranked(idx.search_join(qdf, k=K, round_to=4))
+    want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4))
+    assert got == want
+
+
+def test_search_join_after_delete(spark, built_index, queries_pdf, tmp_path):
+    import shutil
+
+    from pylate_spark.plans.maintenance import delete_documents
+
+    d, _ = built_index
+    d2 = str(tmp_path / "join_del")
+    shutil.copytree(d, d2)
+    # delete the top doc of the first query, then both paths must agree
+    idx = InvertedIndex(spark, d2)
+    qdf = spark.createDataFrame(queries_pdf.iloc[:5])
+    qs = list(zip(queries_pdf["query_id"].tolist()[:5], queries_pdf["text"].tolist()[:5]))
+    top = idx.search(qs[:1], k=1).collect()[0]["docid"]
+    delete_documents(spark, d2, [int(top)])
+    idx = InvertedIndex(spark, d2)
+    got = _collect_ranked(idx.search_join(qdf, k=K, round_to=4))
+    want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4))
+    assert got == want
+    assert not any(r[2] == top for r in got if r[0] == qs[0][0])
+
+
+def test_staging_plan_single_exchange_single_udf(spark, pages_t2):
+    """The docid-assignment wide pass must keep exactly ONE shuffle
+    exchange (width = bucket count, reused by the window — no second
+    exchange at spark.sql.shuffle.partitions) and ONE evaluation of the
+    bucket UDF (an offset-join formulation made Catalyst push an
+    isnotnull filter below the UDF projection and evaluate it twice).
+    Pins the staging bandwidth shape of SCALING.md round 4."""
+    import contextlib
+    import io
+
+    from pylate_spark.operators.docids import assign_docids
+
+    out = assign_docids(pages_t2.select("url", "text"), 256)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert tree.count("Exchange") == 1, tree
