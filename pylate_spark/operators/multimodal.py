@@ -2,12 +2,18 @@
 columns with typed metadata.
 
 The Spark-side machinery here is real and tested — schemas, Arrow
-batch shapes, partitioning-friendly metadata extraction — while the
-actual media decode is STUBBED (this container ships no image/audio
-libraries): :func:`image_features` tries Pillow and otherwise emits a
-clearly-marked deterministic fake feature vector so downstream
-plumbing (e.g. :func:`pylate_spark.operators.similarity.cosine_topk`
-over the features) can be exercised end-to-end.
+batch shapes, partitioning-friendly metadata extraction. Decode
+support is tiered (the ``decoder`` output column reports which tier
+produced each row's features):
+
+- **Pillow** when installed (not in this container — that path stays
+  import-gated),
+- **built-in pure-numpy decoders** for the two formats simple enough
+  to decode without any library — binary PPM (P6) and uncompressed
+  24-bit BMP — so the *real* decode→grayscale→4×4-pool→features path
+  executes and is tested in this environment,
+- **stub-histogram** fallback for formats that genuinely need a codec
+  library (JPEG/PNG/...), clearly labeled.
 
 Reference analog: the encoder boundary — opaque payload in, fixed-dim
 vectors out (``pylate/models/colbert.py:494-803``) — which is exactly
@@ -33,6 +39,8 @@ MAGIC = {
     "1A45DFA3": "video/webm",
     "3C68746D": "text/html",
     "3C21444F": "text/html",
+    "424D": "image/bmp",
+    "5036": "image/x-portable-pixmap",
 }
 
 FEATURE_DIM = 16
@@ -63,6 +71,66 @@ def binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
     )
 
 
+def decode_image_builtin(payload: bytes) -> tuple[str, np.ndarray]:
+    """Pure-numpy decode of the two codec-free raster formats:
+    binary PPM (``P6``) and uncompressed 24-bit ``BI_RGB`` BMP.
+    Returns ``(format_name, HxWx3 uint8 RGB array)``; raises
+    ``ValueError`` for anything else (caller falls back / surfaces)."""
+    if payload[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>,
+        # '#' comments allowed between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (only 8-bit)")
+        need = w * h * 3
+        raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        return "ppm", raster.reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+        return "bmp", img[::-1] if flip else img
+
+
+    raise ValueError("not a built-in-decodable format (PPM P6 / 24-bit BMP)")
+
+
+def _pool_4x4(gray: np.ndarray) -> np.ndarray:
+    """Mean-pool an (H, W) grayscale array to 4×4 (the fixed-dim
+    feature contract) for arbitrary H, W — bucketed block means."""
+    hh, ww = gray.shape
+    r = np.arange(hh) * 4 // hh
+    c = np.arange(ww) * 4 // ww
+    tmp = np.zeros((4, ww), dtype=np.float64)
+    np.add.at(tmp, r, gray)
+    out = np.zeros((4, 4), dtype=np.float64)
+    np.add.at(out.T, c, tmp.T)
+    counts = np.outer(np.bincount(r, minlength=4), np.bincount(c, minlength=4))
+    return (out / np.maximum(counts, 1)).astype(np.float32)
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: a tiny byte-histogram
     sketch. STUB — replace with a real decode when media libs exist."""
@@ -88,16 +156,16 @@ def image_features(
         try:
             from PIL import Image
         except ImportError:
+            # no import-time raise even under require_real_decode: the
+            # built-in PPM/BMP decoders are a real decode path; only a
+            # payload NO tier can decode raises (in featurize)
             Image = None
-            if require_real_decode:
-                raise NotImplementedError(
-                    "real image decode requires Pillow; not available in this environment"
-                )
 
         def featurize(payload: bytes) -> tuple[str, list[float]]:
             """The ``decoder`` label reports what actually produced the
-            features: 'pillow' ONLY for a successful real decode,
-            'stub-histogram' for the deterministic fallback."""
+            features: 'pillow' / 'builtin-ppm' / 'builtin-bmp' ONLY for
+            a successful REAL decode, 'stub-histogram' for the
+            deterministic fallback (codec formats with no library)."""
             if Image is not None:
                 try:
                     import io
@@ -109,6 +177,17 @@ def image_features(
                 except Exception:
                     if require_real_decode:
                         raise
+            try:
+                fmt, rgb = decode_image_builtin(payload)
+                px = _pool_4x4(rgb.astype(np.float32).mean(axis=2)).ravel()
+                total = float(px.sum())
+                return f"builtin-{fmt}", (px / total if total else px).tolist()
+            except ValueError:
+                if require_real_decode:
+                    raise NotImplementedError(
+                        "real decode unavailable: payload is not PPM/BMP and "
+                        "no image library is installed"
+                    )
             return "stub-histogram", _fake_features(payload).tolist()
 
         for pdf in batches:
