@@ -266,3 +266,31 @@ def test_staging_plan_single_exchange_single_udf(spark, pages_t2):
     tree = buf.getvalue().split("\n\n")[0]
     assert tree.count("ArrowEvalPython") == 1, tree
     assert tree.count("Exchange") == 1, tree
+
+
+def test_assign_docids_unicode_collation(spark):
+    """The staging design depends on python str comparison (used by the
+    boundary searchsorted UDF) agreeing with Spark's UTF8 binary sort
+    (used inside each bucket): code-point order == UTF-8 byte order for
+    valid UTF-8. Exercise it with multi-byte keys — accents, CJK,
+    emoji (4-byte), key-prefix ties, digits-vs-letters — across enough
+    rows to force many buckets, and require docid == python sorted
+    rank exactly."""
+    import pandas as pd
+
+    from pylate_spark.operators.docids import assign_docids
+
+    base = [
+        "https://a.example/ü-umlaut", "https://a.example/u-plain",
+        "https://a.example/日本語/ページ", "https://a.example/中文/页面",
+        "https://a.example/🎉emoji", "https://a.example/🎈balloon",
+        "https://a.example/", "https://a.example/0", "https://a.example/Z",
+        "https://a.example/z", "https://a.example/~tilde",
+        "https://café.example/é", "https://cafe.example/e",
+    ]
+    keys = list({f"{b}/{i:04d}" for b in base for i in range(40)})
+    pdf = pd.DataFrame({"url": keys, "text": ["x"] * len(keys)})
+    out = assign_docids(spark.createDataFrame(pdf), 64, partitions=16)
+    got = {r["url"]: r["docid"] for r in out.collect()}
+    want = {u: i for i, u in enumerate(sorted(keys))}
+    assert got == want
