@@ -108,16 +108,32 @@ class Cluster:
         time.sleep(1.0)
 
 
-def run_leg(workers: int, cores: int, corpus_dir: str) -> dict:
+#: weak-scaling mode: each leg's docs AND queries scale with its core
+#: count (constant work per core). Throughput-based efficiency formulas
+#: are unchanged — ideal throughput is still ∝ cores — but the larger
+#: wide-leg input amortizes fixed driver terms the way a real 4N-node
+#: job would (a cluster 4× the size is normally given ≥4× the data).
+WEAK = os.environ.get("PYLATE_SCALE_WEAK") == "1"
+
+
+def run_leg(workers: int, cores: int, scale: float = 1.0) -> dict:
     """One full build+query measurement against a pinned cluster,
-    in a subprocess so every leg gets a fresh driver JVM."""
+    in a subprocess so every leg gets a fresh driver JVM. ``scale``
+    multiplies the leg's docs/queries (weak-scaling mode)."""
+    n_docs = int(N_DOCS * scale)
+    corpus_dir = os.path.join(tempfile.gettempdir(), f"pylate_scale_corpus_{n_docs}")
+    env = dict(os.environ)
+    if scale != 1.0:
+        env["PYLATE_SCALE_QUERIES"] = str(
+            int(int(os.environ.get("PYLATE_SCALE_QUERIES", "2000")) * scale)
+        )
     with Cluster(workers, cores):
         out = subprocess.run(
             [sys.executable,
              os.path.join(REPO, "scripts", "scaling_run.py"),
-             MASTER_URL, str(N_DOCS), corpus_dir,
+             MASTER_URL, str(n_docs), corpus_dir,
              str(workers), str(cores)],
-            capture_output=True, text=True, check=True, cwd=REPO,
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     rec["workers"] = workers
@@ -127,11 +143,14 @@ def run_leg(workers: int, cores: int, corpus_dir: str) -> dict:
 def main() -> None:
     subprocess.run(["sh", os.path.join(REPO, "scripts", "make_pyfiles.sh")],
                    check=True, capture_output=True)
-    corpus_dir = os.path.join(tempfile.gettempdir(), f"pylate_scale_corpus_{N_DOCS}")
+    base_cores = min(w * c for w, c in LEGS)
     results = None
     all_runs: list[dict] = []
     for _ in range(REPEATS):
-        batch = [run_leg(w, c, corpus_dir) for (w, c) in LEGS]
+        batch = [
+            run_leg(w, c, scale=(w * c / base_cores) if WEAK else 1.0)
+            for (w, c) in LEGS
+        ]
         all_runs.extend(batch)
         if results is None:
             results = batch
@@ -146,7 +165,8 @@ def main() -> None:
     summary = {
         "protocol": ("standalone cluster, taskset-pinned workers "
                      f"(legs {LEGS}, driver unpinned both legs), interleaved "
-                     f"x{REPEATS}, per-leg best by qps"),
+                     f"x{REPEATS}, per-leg best by qps"
+                     + (", WEAK scaling (docs+queries ∝ cores)" if WEAK else "")),
         "runs": results,
         "all_runs": all_runs,
         "build_scaling_efficiency": round(
@@ -155,7 +175,7 @@ def main() -> None:
         "build_speedup": round(hi["build_docs_per_sec"] / lo["build_docs_per_sec"], 2),
         "query_speedup": round(hi["qps"] / lo["qps"], 2),
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, "SCALING_WEAK.json" if WEAK else "SCALING.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 
