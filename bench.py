@@ -133,7 +133,7 @@ def main() -> None:
         from pylate_spark.operators.similarity import ivf_topk_auto, probe_recall_curve
 
         t0 = time.time()
-        curve = probe_recall_curve(emb, qs, k=10, n_planes=6)
+        curve = probe_recall_curve(emb, qs, k=10, n_planes=6, exact=exact)
         approx, n_probe = ivf_topk_auto(
             emb, qs, target_recall=0.9, k=10, n_planes=6, curve=curve
         )

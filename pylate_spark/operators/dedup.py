@@ -151,7 +151,11 @@ def dedup_clusters(
         verts = verts.unionByName(docs.select(F.col(id_col).alias("v"))).distinct()
     labels = verts.select("v", F.col("v").alias("lbl"))
     changed = -1  # -1 = loop never ran (max_iter=0)
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is only OBSERVED by a changed == 0
+    # round, so labels that reach the fixpoint exactly on round
+    # max_iter need one extra verification round before the
+    # non-convergence raise below is justified
+    for _ in range(max_iter + 1):
         nmin = (
             edges.join(labels.withColumnRenamed("v", "t"), "t")
             .groupBy("s")

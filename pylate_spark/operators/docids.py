@@ -75,7 +75,9 @@ def _sample_boundaries(
     frac = min(1.0, target / n)
     keys = sorted(
         r[0]
-        for r in pages.select(key_col).sample(withReplacement=False, fraction=frac, seed=42).collect()
+        for r in pages.select(F.coalesce(F.col(key_col), F.lit("")).alias(key_col))
+        .sample(withReplacement=False, fraction=frac, seed=42)
+        .collect()
     )
     if len(keys) < 2:
         return []
@@ -128,10 +130,15 @@ def assign_docids(
         b = np.searchsorted(bnd_bc.value, keys.to_numpy(dtype=object), side="right")
         return pd.Series(b.astype(np.int32))
 
+    # null keys rank as "" (first, like the nulls-first sort they'd get
+    # from a range partitioner) instead of crashing the object-dtype
+    # searchsorted with a None-vs-str comparison
+    skey = F.coalesce(F.col(key_col), F.lit(""))
+
     # exact per-bucket counts from a keys-only scan (text pruned away)
     counts = {
         r["_b"]: r["cnt"]
-        for r in pages.select(bucket_of(F.col(key_col)).alias("_b"))
+        for r in pages.select(bucket_of(skey).alias("_b"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
@@ -163,9 +170,9 @@ def assign_docids(
     # window then reuses that partitioning (HashPartitioning(_off, P)
     # satisfies its ClusteredDistribution — no second exchange,
     # plan-pinned in tests) and only adds the per-partition sort.
-    w = Window.partitionBy("_off").orderBy(key_col)
+    w = Window.partitionBy("_off").orderBy(F.coalesce(F.col(key_col), F.lit("")))
     return (
-        pages.withColumn("_off", offset_of(F.col(key_col)))
+        pages.withColumn("_off", offset_of(skey))
         .repartition(partitions, F.col("_off"))
         .withColumn("_rank", F.row_number().over(w))
         .withColumn("docid", (F.col("_off") + F.col("_rank") - 1).cast("long"))

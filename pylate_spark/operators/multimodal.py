@@ -95,6 +95,8 @@ def decode_image_builtin(payload: bytes) -> tuple[str, np.ndarray]:
         w, h, maxval = tokens
         if maxval != 255:
             raise ValueError(f"PPM maxval {maxval} unsupported (only 8-bit)")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"PPM dimensions invalid (w={w}, h={h})")
         need = w * h * 3
         raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
         return "ppm", raster.reshape(h, w, 3)
@@ -106,6 +108,10 @@ def decode_image_builtin(payload: bytes) -> tuple[str, np.ndarray]:
         comp = int.from_bytes(payload[30:34], "little")
         if bpp != 24 or comp != 0:
             raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+        if w <= 0 or h == 0 or off < 54:
+            # a zeroed/truncated header must not "decode" to an empty
+            # image and count as a real decode with all-zero features
+            raise ValueError(f"BMP dimensions/offset invalid (w={w}, h={h}, off={off})")
         flip = h > 0  # positive height = bottom-up row order
         h = abs(h)
         stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes

@@ -81,6 +81,13 @@ def cosine_topk(
     )
 
 
+#: probes beyond this are effectively exhaustive search done the
+#: expensive way (one exploded candidate row per probe mask per query)
+#: — at n_planes=24 the full 2^24 mask set would be 16M array literals
+#: in the plan. Use cosine_topk for (near-)full coverage instead.
+MAX_N_PROBE = 4096
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.Generator(np.random.Philox(key=seed, counter=0))
     return rng.normal(size=(n_planes, dim)).astype(np.float64).tolist()
@@ -117,14 +124,24 @@ def ivf_topk(
     time and persisted as a partition column at scale, making the probe
     a partition-pruned scan instead of a full-corpus pass.
 
-    ``n_probe`` is the recall knob — the analog of the reference's
-    ``n_ivf_probe`` (``pylate/indexes/stanford_nlp/plaid.py:126-132``):
+    ``n_probe`` is capped at :data:`MAX_N_PROBE` (values that large
+    mean the caller wants (near-)exhaustive search — use
+    :func:`cosine_topk`, which does it without materializing one
+    exploded row per probe mask). It is the recall knob — the analog of
+    the reference's ``n_ivf_probe``
+    (``pylate/indexes/stanford_nlp/plaid.py:126-132``):
     each query probes its own bucket plus the nearest neighboring
     buckets (Hamming distance 1 = one hyperplane sign flipped, then 2,
     ...) until ``n_probe`` buckets are covered. ``n_probe=1`` probes
     only the query's bucket; ``n_probe=n_planes+1`` covers all single
     flips, etc. More probes → higher recall, more scanned partitions.
     """
+    n_probe = min(n_probe, 2**n_planes)
+    if n_probe > MAX_N_PROBE:
+        raise ValueError(
+            f"n_probe={n_probe} explodes one candidate row per probe mask "
+            f"(cap {MAX_N_PROBE}); for (near-)exhaustive search use cosine_topk"
+        )
     planes = _hyperplanes(dim, n_planes, seed=seed)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -186,6 +203,7 @@ def probe_recall_curve(
     dim: int = 64,
     seed: int = 42,
     probes: list[int] | None = None,
+    exact: DataFrame | None = None,
     **cols,
 ) -> list[dict]:
     """Measure the accuracy/probe trade of :func:`ivf_topk` on a query
@@ -198,16 +216,27 @@ def probe_recall_curve(
     ``emb`` for the sample queries plus one bucket-pruned pass per
     probe point — calibrate on a small query sample, persist, reuse.
 
-    Default probe points are powers of two up to ``2**n_planes`` (full
-    coverage, where recall is 1.0 by construction — every bucket is
-    probed), so the curve always reaches any feasible target."""
+    Default probe points are powers of two up to
+    ``min(2**n_planes, MAX_N_PROBE)``; at plane counts where the cap
+    binds (``n_planes > 12``) the curve tops out below full coverage,
+    and :func:`choose_n_probe` falls back to the largest *measured*
+    point. At smaller plane counts the last point IS full coverage
+    (recall 1.0 by construction — every bucket probed), so the curve
+    reaches any feasible target.
+
+    ``exact`` lets callers pass an already-computed/cached
+    :func:`cosine_topk` result for the same queries instead of paying
+    the brute-force pass twice."""
+    ceiling = min(2**n_planes, MAX_N_PROBE)
     if probes is None:
         probes, p = [], 1
-        while p < 2**n_planes:
+        while p < ceiling:
             probes.append(p)
             p *= 2
-        probes.append(2**n_planes)
-    exact = cosine_topk(emb, queries, k=k, **cols).cache()
+        probes.append(ceiling)
+    own_exact = exact is None
+    if own_exact:
+        exact = cosine_topk(emb, queries, k=k, **cols).cache()
     curve = []
     try:
         for p in sorted(set(probes)):
@@ -218,18 +247,22 @@ def probe_recall_curve(
             r = sum(x["recall"] for x in rows) / max(len(rows), 1)
             curve.append({"n_probe": int(p), "recall": round(float(r), 4)})
     finally:
-        exact.unpersist(blocking=False)
+        if own_exact:
+            exact.unpersist(blocking=False)
     return curve
 
 
 def choose_n_probe(curve: list[dict], target_recall: float, n_planes: int = 6) -> int:
     """Smallest measured ``n_probe`` whose recall meets
-    ``target_recall``; falls back to ``2**n_planes`` (full coverage =
-    exact) when no curve point reaches the target."""
-    for pt in sorted(curve, key=lambda d: d["n_probe"]):
+    ``target_recall``; falls back to the largest point actually ON the
+    curve (never an unmeasured ``2**n_planes`` — at realistic plane
+    counts that is millions of probes, i.e. a hang dressed up as a
+    fallback) when no point reaches the target."""
+    pts = sorted(curve, key=lambda d: d["n_probe"])
+    for pt in pts:
         if pt["recall"] >= target_recall:
             return int(pt["n_probe"])
-    return 2**n_planes
+    return int(pts[-1]["n_probe"]) if pts else min(2**n_planes, MAX_N_PROBE)
 
 
 def ivf_topk_auto(

@@ -251,16 +251,35 @@ def _stage_corpus(
     # non-deterministic input DataFrame would desynchronize the counts
     # pass from the rank pass and corrupt docids silently
     # the docid >= base predicate hits parquet row-group stats, so an
-    # incremental add (append into existing staging) skips old batches
+    # incremental add (append into existing staging) skips old batches.
+    # Moments, not just count+min+max: a counts-vs-rank desync that
+    # PRESERVES the total row count (one bucket short, another long)
+    # creates a duplicate docid plus a hole that min/max/count cannot
+    # see — but it shifts the sum by (dup - hole) ≠ 0, and any
+    # compensating multi-error set still moves the sum of squares.
+    # Decimal(38) aggregation: int64 sums overflow at ~10^9 docs
+    # (n·docid ~ 10^24 at the design point) and Spark wraps silently.
+    d38 = F.col("docid").cast("decimal(38,0)")
     g = spark.read.parquet(out).where(F.col("docid") >= docid_base).agg(
-        F.count(F.lit(1)).alias("n"), F.max("docid").alias("mx"), F.min("docid").alias("mn")
+        F.count(F.lit(1)).alias("n"),
+        F.max("docid").alias("mx"), F.min("docid").alias("mn"),
+        F.sum(d38).alias("s1"), F.sum(d38 * d38).alias("s2"),
     ).collect()[0]
     n = int(g["n"] or 0)
-    if n and not (int(g["mn"]) == docid_base and int(g["mx"]) == docid_base + n - 1):
-        raise RuntimeError(
-            f"staged docids not dense: n={n}, min={g['mn']}, max={g['mx']}, "
-            f"base={docid_base} — is the input DataFrame deterministic across reads?"
+    if n:
+        b, hi = docid_base, docid_base + n - 1
+        want_s1 = n * b + n * (n - 1) // 2
+        want_s2 = sum((n * b * b, b * n * (n - 1), (n - 1) * n * (2 * n - 1) // 6))
+        ok = (
+            int(g["mn"]) == b and int(g["mx"]) == hi
+            and int(g["s1"]) == want_s1 and int(g["s2"]) == want_s2
         )
+        if not ok:
+            raise RuntimeError(
+                f"staged docids not dense: n={n}, min={g['mn']}, max={g['mx']}, "
+                f"sum={g['s1']} (want {want_s1}), sumsq={g['s2']} (want {want_s2}), "
+                f"base={docid_base} — is the input DataFrame deterministic across reads?"
+            )
 
 
 def _build_one_batch(

@@ -49,8 +49,16 @@ def run_inner(master: str, n_docs: int, corpus_dir: str, workers: int, cores: in
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         synth_pages(spark, n_docs).write.mode("overwrite").parquet(corpus_dir)
     pages = spark.read.parquet(corpus_dir).select("url", "text")
-    # warm python workers
-    pages.limit(2000).select(F.md5("url")).count()
+
+    # warm the PYTHON UDF workers (fork + numpy/pandas import), not just
+    # the JVM — F.md5 is JVM-native and spawns none, which let the first
+    # pandas-UDF job inside assign_docids absorb worker cold-start and
+    # inflate the prep_jobs attribution
+    @F.pandas_udf("int")
+    def _warm(s: pd.Series) -> pd.Series:
+        return pd.Series(np.zeros(len(s), dtype=np.int32))
+
+    pages.limit(2000).select(_warm(F.col("url"))).count()
 
     cfg = IndexConfig(shard_size=16384, block_size=128, term_buckets=64)
 

@@ -268,3 +268,34 @@ def test_image_features_builtin_real_decode_e2e(spark):
         multimodal.image_features(garbage, require_real_decode=True).collect()
     # without the flag the same payload falls back to the labeled stub
     assert multimodal.image_features(garbage).collect()[0]["decoder"] == "stub-histogram"
+
+
+def test_builtin_decoder_rejects_degenerate_headers():
+    """A structurally plausible but zero-dimension header must raise,
+    not 'decode' to an empty image with all-zero features that would
+    count as a successful real decode."""
+    import struct
+
+    bad_bmp = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 0, 0, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal.decode_image_builtin(bad_bmp)
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal.decode_image_builtin(b"P6\n0 5\n255\n")
+
+
+def test_ivf_probe_cap_and_curve_fallback(emb):
+    """n_probe requests beyond MAX_N_PROBE raise plan-side (no 16M-mask
+    explode dressed up as a fallback), and choose_n_probe falls back to
+    the largest MEASURED curve point, never an unmeasured 2^n_planes."""
+    q = emb.limit(1).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="n_probe"):
+        similarity.ivf_topk(
+            emb, q, n_planes=24, n_probe=5000,
+            qid_col="vec_id", qvec_col="embedding",
+        )
+    curve = [{"n_probe": 1, "recall": 0.3}, {"n_probe": 8, "recall": 0.6}]
+    assert similarity.choose_n_probe(curve, 0.99, n_planes=24) == 8
+    assert similarity.choose_n_probe([], 0.99, n_planes=24) == similarity.MAX_N_PROBE

@@ -289,8 +289,13 @@ def test_assign_docids_unicode_collation(spark):
         "https://café.example/é", "https://cafe.example/e",
     ]
     keys = list({f"{b}/{i:04d}" for b in base for i in range(40)})
-    pdf = pd.DataFrame({"url": keys, "text": ["x"] * len(keys)})
-    out = assign_docids(spark.createDataFrame(pdf), 64, partitions=16)
+    pdf = pd.DataFrame({"url": keys + [None], "text": ["x"] * (len(keys) + 1)})
+    out = assign_docids(
+        spark.createDataFrame(pdf, "url string, text string"), 64, partitions=16
+    )
     got = {r["url"]: r["docid"] for r in out.collect()}
-    want = {u: i for i, u in enumerate(sorted(keys))}
+    # a null key must not crash the searchsorted UDF; it ranks first
+    # (as "" — the nulls-first position a range partitioner gave it)
+    want = {u: i + 1 for i, u in enumerate(sorted(keys))}
+    want[None] = 0
     assert got == want
