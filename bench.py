@@ -41,6 +41,7 @@ def main() -> None:
 
     idx_dir = tempfile.mkdtemp(prefix="pylate_bench_idx_")
     corpus_dir = tempfile.mkdtemp(prefix="pylate_bench_pages_")
+    bucket_dir = tempfile.mkdtemp(prefix="pylate_bench_buckets_")
     try:
         # --- materialize the corpus table first (untimed: the engine's
         # input contract is an existing pages table, BASELINE.json) ----
@@ -142,9 +143,39 @@ def main() -> None:
         extras["ann_auto_n_probe"] = n_probe
         extras["ann_auto_recall_at10"] = round(sum(r["recall"] for r in rows) / len(rows), 3)
         emb.unpersist()
+
+        # --- persisted-bucket ANN probe vs full-scan recompute ---------
+        # write-time bucketing (untimed: paid once per corpus) makes the
+        # probe a partition-pruned scan — probe cost ∝ probed buckets'
+        # bytes, never a full-corpus pass (PLANS.md §8)
+        import os as _os
+
+        from pylate_spark.operators.similarity import (
+            ivf_topk_bucketed,
+            write_bucketed_embeddings,
+        )
+
+        big = synth_embeddings(spark, 50_000)
+        write_bucketed_embeddings(big, bucket_dir, n_planes=6, dim=64)
+        big_q = big.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        t0 = time.time()
+        ivf_topk(big, big_q, k=10, n_planes=6, n_probe=7).count()
+        timings["ann_fullscan_probe7_50k"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ivf_topk_bucketed(spark, bucket_dir, big_q, k=10, n_probe=7).count()
+        timings["ann_pruned_probe7_50k"] = round(time.time() - t0, 3)
+        extras["ann_pruned_speedup"] = round(
+            timings["ann_fullscan_probe7_50k"] / timings["ann_pruned_probe7_50k"], 2
+        )
+        extras["ann_bucket_dirs"] = sum(
+            1 for d in _os.listdir(bucket_dir) if d.startswith("bucket=")
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(bucket_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -539,9 +539,7 @@ def _ann_ivf_sql(k: int = K, n_planes: int = ANN_PLANES, dim: int = 64,
     hyperplanes (inlined double literals), same sign-bit bucketing,
     same Hamming-weight-ordered multi-probe masks, same rounded-cosine
     ranking with vec_id tie-break."""
-    from itertools import combinations
-
-    from pylate_spark.operators.similarity import _hyperplanes
+    from pylate_spark.operators.similarity import _hyperplanes, _probe_masks
 
     planes = _hyperplanes(dim, n_planes, seed=seed)
     bucket = " + ".join(
@@ -549,15 +547,7 @@ def _ann_ivf_sql(k: int = K, n_planes: int = ANN_PLANES, dim: int = 64,
         f" THEN {1 << j} ELSE 0 END"
         for j, p in enumerate(planes)
     )
-    masks: list[int] = []
-    for w in range(n_planes + 1):
-        for bits in combinations(range(n_planes), w):
-            masks.append(sum(1 << b for b in bits))
-            if len(masks) >= n_probe:
-                break
-        if len(masks) >= n_probe:
-            break
-    probe = ", ".join(f"xor(q.bucket, {m})" for m in masks)
+    probe = ", ".join(f"xor(q.bucket, {m})" for m in _probe_masks(n_planes, n_probe))
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (

@@ -38,6 +38,27 @@ def _norm(a):
     )
 
 
+def _score_rank(joined: DataFrame, k: int, round_to: int = 4) -> DataFrame:
+    """Shared scoring/ranking tail of every cosine top-k path: exact
+    rounded cosine over (vec, nv) × (qvec, nq) pairs, self-match
+    exclusion, WindowGroupLimit-bounded top-k with the deterministic
+    (cos desc, vec_id asc) tie-break. Returns (qid, rank, vec_id,
+    cos_sim)."""
+    scored = joined.where(F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("nv") * F.col("nq")), round_to).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_sim")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -62,23 +83,7 @@ def cosine_topk(
         F.col(qvec_col).alias("qvec"),
         _norm(F.col(qvec_col)).alias("nq"),
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("nv") * F.col("nq")), round_to).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos_sim")
-    )
+    return _score_rank(e.crossJoin(F.broadcast(q)), k, round_to)
 
 
 #: probes beyond this are effectively exhaustive search done the
@@ -91,6 +96,29 @@ MAX_N_PROBE = 4096
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.Generator(np.random.Philox(key=seed, counter=0))
     return rng.normal(size=(n_planes, dim)).astype(np.float64).tolist()
+
+
+def _probe_masks(n_planes: int, n_probe: int) -> list[int]:
+    """XOR masks in increasing Hamming weight: 0, then single-bit
+    flips, then double-bit flips ... truncated at ``n_probe`` masks.
+    Within a weight the order is bit-position lexicographic (the
+    combinations() order) — any deterministic order is valid; it only
+    matters for n_probe values that truncate mid-weight. Generated
+    lazily by weight — enumerating all 2^n_planes ids would hang at
+    realistic plane counts (n_planes=24 → 16M ids for a handful of
+    probes). Shared by :func:`ivf_topk`, :func:`ivf_topk_bucketed` and
+    the DuckDB oracle so the probe sets can never desynchronize."""
+    from itertools import combinations
+
+    masks: list[int] = []
+    for w in range(n_planes + 1):
+        for bits in combinations(range(n_planes), w):
+            masks.append(sum(1 << b for b in bits))
+            if len(masks) >= n_probe:
+                break
+        if len(masks) >= n_probe:
+            break
+    return masks
 
 
 def bucket_col(vec_col, planes: list[list[float]]):
@@ -156,43 +184,117 @@ def ivf_topk(
         bucket_col(F.col(qvec_col), planes).alias("bucket"),
     )
     if n_probe > 1:
-        # XOR masks in increasing Hamming weight: 0, then single-bit
-        # flips, then double-bit flips ... truncated at n_probe buckets.
-        # Within a weight the order is bit-position lexicographic (the
-        # combinations() order) — any deterministic order is valid; it
-        # only matters for n_probe values that truncate mid-weight.
-        # Generated lazily by weight — enumerating all 2^n_planes ids
-        # would hang at realistic plane counts (n_planes=24 → 16M ids
-        # for a handful of probes)
-        from itertools import combinations
-
-        masks = []
-        for w in range(n_planes + 1):
-            for bits in combinations(range(n_planes), w):
-                masks.append(sum(1 << b for b in bits))
-                if len(masks) >= n_probe:
-                    break
-            if len(masks) >= n_probe:
-                break
+        masks = _probe_masks(n_planes, n_probe)
         q = q.withColumn(
             "bucket",
             F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
         )
-    scored = (
-        e.join(F.broadcast(q), "bucket")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("nv") * F.col("nq")), 4).alias("cos_sim"),
+    return _score_rank(e.join(F.broadcast(q), "bucket"), k)
+
+
+#: manifest filename inside a bucketed-embeddings directory. The
+#: leading underscore makes Spark/Hadoop readers skip it (same
+#: convention as _SUCCESS/_metadata), so the directory stays a plain
+#: ``spark.read.parquet`` target.
+BUCKET_MANIFEST = "_lsh_buckets.json"
+
+
+def write_bucketed_embeddings(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an embedding corpus PARTITIONED BY its LSH bucket — the
+    write-time half of the scale ANN path. The bucket (and the vector
+    norm) are pure functions of the vector, so they are computed once
+    here; :func:`ivf_topk_bucketed` then probes with a literal bucket
+    IN-list that Catalyst turns into ``PartitionFilters`` — only the
+    probed buckets' directories are ever listed or read, the analog of
+    the reference probing only ``ncells`` IVF cells via its centroid
+    index lookup instead of scanning the corpus
+    (``/root/reference/pylate/indexes/stanford_nlp/search/candidate_generation.py:22-39``).
+
+    A JSON manifest (``n_planes``/``dim``/``seed``) is written next to
+    the data so the probe path can never hash queries with different
+    hyperplanes than the layout was written with."""
+    import json
+
+    from pylate_spark import storage
+
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nv"),
+        bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {"n_planes": n_planes, "dim": dim, "seed": seed, "version": 1}
+    storage.write_text(storage.join(path, BUCKET_MANIFEST), json.dumps(meta))
+    return meta
+
+
+def load_bucket_manifest(path: str) -> dict:
+    import json
+
+    from pylate_spark import storage
+
+    return json.loads(storage.read_text(storage.join(path, BUCKET_MANIFEST)))
+
+
+def ivf_topk_bucketed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """:func:`ivf_topk` over a layout persisted by
+    :func:`write_bucketed_embeddings`: identical results (same planes,
+    same Hamming-ordered probe masks, same rounded-cosine ranking), but
+    the corpus scan is a PARTITION-PRUNED read of the probed buckets
+    only — no bucket recompute, no norm recompute, no full-corpus pass.
+    At 100 TB this is the difference between reading ``n_probe/2^planes``
+    of the corpus and reading all of it per query batch.
+
+    The query buckets are computed by the SAME Spark expression the
+    write path used (``bucket_col``'s left-to-right float64 fold — a
+    numpy dot's pairwise summation could flip a sign bit on a
+    projection near 0) and collected: the query side is small by
+    design, and the literal bucket list is exactly what makes the scan
+    partition-prunable. Plan-shape is pinned by
+    ``tests/test_similarity_recall.py`` (PartitionFilters on bucket)."""
+    meta = load_bucket_manifest(path)
+    n_planes = int(meta["n_planes"])
+    n_probe = min(n_probe, 2**n_planes)
+    if n_probe > MAX_N_PROBE:
+        raise ValueError(
+            f"n_probe={n_probe} explodes one candidate row per probe mask "
+            f"(cap {MAX_N_PROBE}); for (near-)exhaustive search use cosine_topk"
         )
+    planes = _hyperplanes(int(meta["dim"]), n_planes, seed=int(meta["seed"]))
+    masks = _probe_masks(n_planes, n_probe)
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qvec"),
+        _norm(F.col(qvec_col)).alias("nq"),
+        bucket_col(F.col(qvec_col), planes).alias("bucket"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "cos_sim")
-    )
+    qb = [int(r["bucket"]) for r in q.select("bucket").distinct().collect()]
+    probe_buckets = sorted({b ^ m for b in qb for m in masks})
+    e = spark.read.parquet(path).where(F.col("bucket").isin(probe_buckets))
+    if n_probe > 1:
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+    return _score_rank(e.join(F.broadcast(q), "bucket"), k)
 
 
 def probe_recall_curve(

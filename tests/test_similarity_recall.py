@@ -86,3 +86,59 @@ def test_target_recall_auto_probe(spark, emb, queries, exact):
     )
     assert _mean_recall(exact, approx2) >= 0.90
     assert 1 <= p2 <= 2**N_PLANES
+
+
+@pytest.fixture(scope="module")
+def bucketed_path(spark, emb, tmp_path_factory):
+    from pylate_spark.operators.similarity import write_bucketed_embeddings
+
+    path = str(tmp_path_factory.mktemp("bucketed") / "emb")
+    meta = write_bucketed_embeddings(emb, path, n_planes=N_PLANES, dim=64)
+    assert meta["n_planes"] == N_PLANES
+    return path
+
+
+@pytest.mark.parametrize("n_probe", [1, 7, 22])
+def test_bucketed_probe_identical_to_fullscan(spark, emb, queries, bucketed_path, n_probe):
+    """The persisted-layout probe must return EXACTLY what the
+    full-scan ivf_topk returns for the same (planes, seed, n_probe) —
+    the layout changes where the bytes live, never the result."""
+    from pylate_spark.operators.similarity import ivf_topk_bucketed
+
+    got = sorted(map(tuple, ivf_topk_bucketed(
+        spark, bucketed_path, queries, k=K, n_probe=n_probe).collect()))
+    want = sorted(map(tuple, ivf_topk(
+        emb, queries, k=K, n_planes=N_PLANES, n_probe=n_probe).collect()))
+    assert got == want
+
+
+def test_bucketed_probe_plan_is_partition_pruned(spark, queries, bucketed_path):
+    """The scale claim itself, pinned in the plan: the probed-bucket
+    IN-list must land in the scan's PartitionFilters (only probed
+    buckets' directories listed/read — the reference's probe-only-
+    ncells-cells shape, candidate_generation.py:22-39), and the probe
+    must touch strictly fewer partition directories than exist."""
+    import contextlib
+    import io
+    import re
+
+    from pylate_spark import storage
+    from pylate_spark.operators.similarity import ivf_topk_bucketed
+
+    few = queries.where("qid < 3")  # 3 queries x 2 probes <= 6 buckets
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_topk_bucketed(spark, bucketed_path, few, k=K, n_probe=2).explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m, plan  # the bucket predicate reached the partition filter
+    lst = re.search(r"(?:INSET |IN \()([\d,\s]+)", m.group(1))
+    assert lst, m.group(1)
+    # pruning is real: probed buckets << written bucket directories
+    n_dirs = sum(1 for d in storage.listdir(bucketed_path) if "bucket=" in d)
+    probed = len(re.findall(r"\d+", lst.group(1)))
+    assert 0 < probed <= 6 < n_dirs, (probed, n_dirs, m.group(1))
+    # and nothing recomputes the bucket on the corpus side: the scan
+    # projects the persisted columns, no hyperplane arithmetic below it
+    scan_leaf = plan.split("Scan parquet", 1)[1].split("\n\n")[0]
+    assert "aggregate(" not in scan_leaf.lower()
