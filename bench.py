@@ -80,13 +80,25 @@ def main() -> None:
         modes = ("cascade", "exhaustive", "auto")
         best: dict[str, float] = {}
         n_rows: dict[str, int] = {}
+        import pandas as pd
+
+        qdf = spark.createDataFrame(
+            pd.DataFrame(qset, columns=["query_id", "text"])
+        )
+        idx.search_join(qdf.limit(10), k=10).count()  # warm the join path too
         for _ in range(3):
             for mode in modes:
                 t0 = time.time()
                 n_rows[mode] = idx.search(qset, k=10, mode=mode).count()
                 dt = time.time() - t0
                 best[mode] = min(best.get(mode, dt), dt)
-        for mode in modes:
+            # the fully distributed (scatter-by-term, two-phase MaxScore)
+            # path on the same batch — regression-visible per round
+            t0 = time.time()
+            n_rows["join"] = idx.search_join(qdf, k=10).count()
+            dt = time.time() - t0
+            best["join"] = min(best.get("join", dt), dt)
+        for mode in (*modes, "join"):
             timings[f"query_{mode}_100q"] = round(best[mode], 3)
             extras[f"qps_{mode}"] = round(100 / best[mode], 2)
             extras[f"query_{mode}_rows"] = n_rows[mode]

@@ -323,8 +323,35 @@ class InvertedIndex:
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
         return _rank_topk(scored, k)
 
+    def _decoded_postings(self, terms_df: DataFrame, subset_df: DataFrame | None) -> DataFrame:
+        """Semi-join-pruned segment scan → ``mapInPandas`` posting
+        decode → tombstone anti-join (→ subset semi-join). The one
+        decode leg of every search_join phase."""
+        from pylate_spark import storage
+        from pylate_spark.plans.segments import decode_postings_gen
+
+        seg = self._seg.join(terms_df, "term", "left_semi").select(
+            "term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off"
+        )
+        postings = seg.mapInPandas(
+            decode_postings_gen, schema="term string, docid long, tf long, dl long"
+        )
+        tomb_dir = active_dir(self.paths, self.manifest, "tombstones")
+        if storage.exists(tomb_dir):
+            tomb = self.spark.read.parquet(tomb_dir).select("docid").distinct()
+            postings = postings.join(tomb, "docid", "left_anti")
+        if subset_df is not None:
+            postings = postings.join(subset_df, "docid", "left_semi")
+        return postings
+
     def search_join(
-        self, queries: DataFrame, k: int = 10, round_to: int | None = None
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        round_to: int | None = None,
+        subset: list[int] | np.ndarray | None = None,
+        two_phase: bool = True,
+        head_df_cutoff: int | None = None,
     ) -> DataFrame:
         """Fully distributed query path — scatter by TERM instead of by
         shard, with NOTHING on the driver: tokenization is a
@@ -341,20 +368,53 @@ class InvertedIndex:
         10^5–10^6-query batches the driver becomes the bottleneck and
         replicate-to-every-shard stops paying; this path's cost scales
         with |queries| × |postings of their terms| and never
-        materializes anything driver-side. It decodes exhaustively (no
-        block-max pruning — pruning needs per-query state that a
-        term-scatter plan doesn't localize), which is the standard
-        batch-OLAP trade.
+        materializes anything driver-side.
+
+        ``subset`` restricts *candidates* to the given docids (corpus
+        stats stay global — the reference's allow-list semantics,
+        ``fast_plaid.py:318-340``) — the kernel path's ``subset=`` made
+        distributed (a semi-join on docid instead of a sorted-array
+        mask).
+
+        ``two_phase`` (default) bounds the head-term fan-out hazard: a
+        naive ``postings ⋈ queries ON term`` replicates a stopword's
+        ~N-row posting list once per query containing it. The two-phase
+        plan is the reference's shrinking-budget cascade
+        (``index_storage.py:186-204``) made EXACT at the plan level —
+        distributed MaxScore:
+
+        1. score only RARE terms (df ≤ ``head_df_cutoff``, default
+           ``max(256, n_docs // 20)``) with the plain term join;
+        2. θ_q = the k-th best phase-1 partial score per query (a lower
+           bound on the true k-th best total), and hub_q = Σ upper
+           bounds of q's head terms, from segment BLOCK METADATA only
+           (max_tf/min_dl aggregated per term — no payload decode);
+        3. a phase-1 candidate survives iff partial + hub_q ≥ θ_q − ε
+           (every true top-k doc does: its partial ≥ its total − hub ≥
+           θ − ε); head postings then join the surviving (candidate ×
+           head-term) set ON (term, docid) — output bounded by that
+           small set, the stopword posting list is scanned ONCE and
+           never replicated per query;
+        4. only queries where hub_q ≥ θ_q − ε ("unbounded": stopword-only
+           queries, or < k phase-1 candidates) fall back to the full
+           head-term join — and for those, no phase-1 candidate is ever
+           pruned (partial + hub ≥ hub ≥ θ − ε), so every emitted score
+           is the exact full sum. ε = 2·10^−round_to (the kernel's
+           rounded-rank margin, plans/wand.py) or 1e-3 for raw-float
+           emit — pruning is only ever made MORE conservative by it.
+
+        Each phase decodes its own semi-join-pruned segment leg, so no
+        posting is decoded twice; with AQE on, a phase whose build side
+        is empty (no head terms / no unbounded queries) is eliminated at
+        runtime without touching its scan.
 
         Plan shape: query terms semi-join-prune the segment scan and
         the term_stats read (both ≤ |distinct query terms| rows after
         pruning — AQE broadcasts them when small, shuffles on ``term``
-        when not); decoded postings anti-join tombstones; one
-        (query_id, docid) partial-agg shuffle; WindowGroupLimit-bounded
-        top-k merge (same final merge as search()).
+        when not); decoded postings anti-join tombstones; (query_id,
+        docid) partial-agg shuffles; WindowGroupLimit-bounded top-k
+        merge (same final merge as search()).
         """
-        from pylate_spark.plans.segments import decode_postings_gen
-
         qt = queries.select(
             F.col("query_id").cast("long").alias("query_id"),
             F.explode(tokenize_udf(F.col("text"))).alias("term"),
@@ -365,34 +425,141 @@ class InvertedIndex:
             .join(terms, "term", "left_semi")
             .select("term", "df")
         )
-        seg = self._seg.join(terms, "term", "left_semi").select(
-            "term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off"
-        )
-        postings = seg.mapInPandas(
-            decode_postings_gen, schema="term string, docid long, tf long, dl long"
-        )
-        from pylate_spark import storage
-
-        tomb_dir = active_dir(self.paths, self.manifest, "tombstones")
-        if storage.exists(tomb_dir):
-            tomb = self.spark.read.parquet(tomb_dir).select("docid").distinct()
-            postings = postings.join(tomb, "docid", "left_anti")
+        subset_df = None
+        if subset is not None:
+            subset_df = self.spark.createDataFrame(
+                [(int(d),) for d in subset], "docid long"
+            ).distinct()
         contrib = bm25_score_col(
             F.col("tf"), F.col("dl"), F.col("df"),
             float(self.n_docs), self.avgdl, self.config.bm25,
         )
-        scored = (
-            postings.join(qt, "term")
-            .join(stats, "term")
-            .withColumn("contrib", contrib)
-            .groupBy("query_id", "docid")
-            .agg(F.sum("contrib").alias("score_d"))
+
+        def finish(scored: DataFrame) -> DataFrame:
+            if round_to is not None:
+                out = scored.withColumn("score", F.round(F.col("score_d"), round_to))
+            else:
+                out = scored.withColumn("score", F.col("score_d").cast("float"))
+            return _rank_topk(out.drop("score_d"), k)
+
+        if not two_phase:
+            postings = self._decoded_postings(terms, subset_df)
+            scored = (
+                postings.join(qt, "term")
+                .join(stats, "term")
+                .withColumn("contrib", contrib)
+                .groupBy("query_id", "docid")
+                .agg(F.sum("contrib").alias("score_d"))
+            )
+            return finish(scored)
+
+        cutoff = head_df_cutoff if head_df_cutoff is not None else max(256, self.n_docs // 20)
+        # per-term TRUE upper bound from block metadata only (payload
+        # column pruned away): idf · tfn(max max_tf, min min_dl) — the
+        # same UB the kernel uses per shard (plans/wand.ShardTerms),
+        # here aggregated globally per term
+        meta = (
+            self._seg.join(terms, "term", "left_semi")
+            .groupBy("term")
+            .agg(
+                F.max(F.array_max("b_max_tf")).alias("ub_tf"),
+                F.min(F.array_min("b_min_dl")).alias("ub_dl"),
+            )
         )
-        if round_to is not None:
-            scored = scored.withColumn("score", F.round(F.col("score_d"), round_to))
-        else:
-            scored = scored.withColumn("score", F.col("score_d").cast("float"))
-        return _rank_topk(scored.drop("score_d"), k)
+        tstats = stats.join(meta, "term").select(
+            "term",
+            "df",
+            bm25_score_col(
+                F.col("ub_tf"), F.col("ub_dl"), F.col("df"),
+                float(self.n_docs), self.avgdl, self.config.bm25,
+            ).alias("ub"),
+            (F.col("df") > cutoff).alias("is_head"),
+        )
+        qts = qt.join(tstats, "term")  # (query_id, term, df, ub, is_head)
+        qt_r = qts.where(~F.col("is_head")).select("query_id", "term", "df")
+        qt_h = qts.where(F.col("is_head")).select("query_id", "term", "df", "ub")
+
+        # phase 1: rare terms, plain term scatter
+        post_r = self._decoded_postings(
+            tstats.where(~F.col("is_head")).select("term"), subset_df
+        )
+        partial = (
+            post_r.join(qt_r, "term")
+            .withColumn("c", contrib)
+            .groupBy("query_id", "docid")
+            .agg(F.sum("c").alias("partial"))
+        )
+
+        # per-query pruning state: θ (k-th best partial) and hub (head
+        # UB sum) — both ≤ |queries| rows, never corpus-sized
+        wq = Window.partitionBy("query_id").orderBy(F.desc("partial"), F.asc("docid"))
+        theta = (
+            partial.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") == k)
+            .select("query_id", F.col("partial").alias("theta"))
+        )
+        hub = qt_h.groupBy("query_id").agg(F.sum("ub").alias("hub"))
+        eps = 2 * 10.0 ** (-round_to) if round_to is not None else 1e-3
+        qmeta = (
+            qt.select("query_id").distinct()
+            .join(theta, "query_id", "left")
+            .join(hub, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("theta", F.lit(float("-inf"))).alias("theta"),
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            )
+            .withColumn("bounded", F.col("hub") < F.col("theta") - F.lit(eps))
+        )
+        cands = (
+            partial.join(qmeta, "query_id")
+            .where(F.col("partial") + F.col("hub") >= F.col("theta") - F.lit(eps))
+            .select("query_id", "docid", "partial", "bounded")
+        )
+
+        # phase 2a (bounded queries): head postings keyed by (term,
+        # docid) against the small surviving candidate × head-term set —
+        # a stopword's posting list is scanned once, never replicated
+        cand_ht = (
+            cands.where(F.col("bounded")).select("query_id", "docid")
+            .join(qt_h.select("query_id", "term", "df"), "query_id")
+        )
+        post_h = self._decoded_postings(
+            tstats.where(F.col("is_head")).select("term"), subset_df
+        )
+        c2b = (
+            post_h.join(cand_ht, ["term", "docid"])
+            .withColumn("c", contrib)
+            .select("query_id", "docid", "c")
+        )
+        # phase 2b (unbounded queries — stopword-only or < k phase-1
+        # candidates): exactness requires the full head join for these
+        # queries ONLY; its decode leg is pruned to their terms and AQE
+        # eliminates it when no query is unbounded
+        qt_h_un = qt_h.join(
+            qmeta.where(~F.col("bounded")).select("query_id"), "query_id"
+        ).select("query_id", "term", "df")
+        post_h_un = self._decoded_postings(qt_h_un.select("term").distinct(), subset_df)
+        c2u = (
+            post_h_un.join(qt_h_un, "term")
+            .withColumn("c", contrib)
+            .select("query_id", "docid", "c")
+        )
+        contrib2 = (
+            c2b.unionByName(c2u).groupBy("query_id", "docid").agg(F.sum("c").alias("s2"))
+        )
+        scored = (
+            cands.select("query_id", "docid", "partial")
+            .join(contrib2, ["query_id", "docid"], "full_outer")
+            .select(
+                "query_id",
+                "docid",
+                (F.coalesce("partial", F.lit(0.0)) + F.coalesce("s2", F.lit(0.0))).alias(
+                    "score_d"
+                ),
+            )
+        )
+        return finish(scored)
 
 
 def bm25_scan_topk(

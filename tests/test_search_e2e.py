@@ -247,6 +247,42 @@ def test_search_join_after_delete(spark, built_index, queries_pdf, tmp_path):
     assert not any(r[2] == top for r in got if r[0] == qs[0][0])
 
 
+@pytest.mark.parametrize("cutoff", [0, 5, 10**9])
+def test_search_join_two_phase_cutoff_sweep(spark, built_index, queries_pdf, cutoff):
+    """The two-phase MaxScore plan must be exact at EVERY head/rare
+    split: cutoff=0 routes every term through the head phase (all
+    queries take the unbounded leg), 10^9 routes everything through
+    phase 1 (pure rare scatter), 5 mixes both legs — all three must be
+    rank-identical to the exhaustive kernel path."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qdf = spark.createDataFrame(queries_pdf.iloc[:12])
+    qs = list(zip(queries_pdf["query_id"].tolist()[:12], queries_pdf["text"].tolist()[:12]))
+    got = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=cutoff))
+    want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4))
+    assert got == want
+
+
+def test_search_join_subset_parity(spark, built_index, pages_t2_pdf, queries_pdf):
+    """search_join(subset=) must equal search(subset=) — the kernel
+    path's allow-list (fast_plaid.py:318-340) on the distributed path,
+    including through the two-phase split."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    allowed = list(range(0, len(pages_t2_pdf), 3))
+    qdf = spark.createDataFrame(queries_pdf.iloc[:10])
+    qs = list(zip(queries_pdf["query_id"].tolist()[:10], queries_pdf["text"].tolist()[:10]))
+    got = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, subset=allowed))
+    want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4, subset=allowed))
+    assert got == want
+    # and with a forced head split, so the subset semi-join is exercised
+    # on all three decode legs
+    got2 = _collect_ranked(
+        idx.search_join(qdf, k=K, round_to=4, subset=allowed, head_df_cutoff=3)
+    )
+    assert got2 == want
+
+
 def test_staging_plan_single_exchange_single_udf(spark, pages_t2):
     """The docid-assignment wide pass must keep exactly ONE shuffle
     exchange (width = bucket count, reused by the window — no second
