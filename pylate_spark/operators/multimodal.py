@@ -8,12 +8,13 @@ produced each row's features):
 
 - **Pillow** when installed (not in this container — that path stays
   import-gated),
-- **built-in pure-numpy decoders** for the two formats simple enough
-  to decode without any library — binary PPM (P6) and uncompressed
-  24-bit BMP — so the *real* decode→grayscale→4×4-pool→features path
-  executes and is tested in this environment,
+- **built-in pure-numpy decoders** for the formats decodable with the
+  stdlib alone — binary PPM (P6), uncompressed 24-bit BMP, and 8-bit
+  non-interlaced PNG (zlib inflate + numpy scanline unfiltering) — so
+  the *real* decode→grayscale→4×4-pool→features path executes and is
+  pixel-exact-tested in this environment,
 - **stub-histogram** fallback for formats that genuinely need a codec
-  library (JPEG/PNG/...), clearly labeled.
+  library (JPEG/GIF/WebP/...), clearly labeled.
 
 Reference analog: the encoder boundary — opaque payload in, fixed-dim
 vectors out (``pylate/models/colbert.py:494-803``) — which is exactly
@@ -71,11 +72,116 @@ def binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
     )
 
 
+def _png_unfilter_row(ft: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §6: None/Sub/Up/Average/
+    Paeth). Sub is a per-lane prefix sum (vectorized cumsum mod 256);
+    Up is fully vectorized; Average/Paeth are inherently sequential in
+    x (each byte depends on the reconstructed left neighbor) — a byte
+    loop, acceptable here because decode is per-payload Python inside
+    the Arrow-batched UDF anyway (never a scan/join hot path)."""
+    n = raw.size
+    if ft == 0:
+        return raw.copy()
+    if ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]  → cumsum per lane
+        out = raw.astype(np.int64).copy()
+        for lane in range(bpp):
+            out[lane::bpp] = np.cumsum(out[lane::bpp])
+        return (out & 0xFF).astype(np.uint8)
+    if ft == 2:  # Up
+        return ((raw.astype(np.int64) + prev) & 0xFF).astype(np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    if ft == 3:  # Average
+        for x in range(n):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(raw[x]) + (left + int(prev[x])) // 2) & 0xFF
+        return out
+    if ft == 4:  # Paeth
+        for x in range(n):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(raw[x]) + pred) & 0xFF
+        return out
+    raise ValueError(f"PNG filter type {ft} invalid")
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decode: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no
+    interlace. Returns HxWx3 uint8 RGB (alpha dropped, palette
+    resolved); raises ValueError on anything else so the caller's tier
+    labeling stays honest."""
+    import zlib as _z
+
+    pos, w = 8, None
+    h = bit_depth = color_type = None
+    idat: list[bytes] = []
+    plte = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("PNG chunk truncated")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            comp, filt, interlace = data[10], data[11], data[12]
+            if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"PNG unsupported (depth={bit_depth}, interlace={interlace})"
+                )
+            if color_type not in (0, 2, 3, 4, 6):
+                raise ValueError(f"PNG color type {color_type} unsupported")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"PNG dimensions invalid (w={w}, h={h})")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * channels
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size < h * (stride + 1):
+        raise ValueError("PNG raster truncated")
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        img[y] = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, bpp)
+        prev = img[y].astype(np.int64)
+    px = img.reshape(h, w, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        return plte[px[..., 0]]
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # 6: RGBA → RGB
+
+
 def decode_image_builtin(payload: bytes) -> tuple[str, np.ndarray]:
-    """Pure-numpy decode of the two codec-free raster formats:
-    binary PPM (``P6``) and uncompressed 24-bit ``BI_RGB`` BMP.
+    """Pure-numpy decode of the codec-free raster formats — binary PPM
+    (``P6``), uncompressed 24-bit ``BI_RGB`` BMP — plus 8-bit
+    non-interlaced PNG (stdlib ``zlib`` inflate + numpy unfiltering).
     Returns ``(format_name, HxWx3 uint8 RGB array)``; raises
     ``ValueError`` for anything else (caller falls back / surfaces)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", _png_decode(payload)
     if payload[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws>,
         # '#' comments allowed between tokens
@@ -120,7 +226,7 @@ def decode_image_builtin(payload: bytes) -> tuple[str, np.ndarray]:
         return "bmp", img[::-1] if flip else img
 
 
-    raise ValueError("not a built-in-decodable format (PPM P6 / 24-bit BMP)")
+    raise ValueError("not a built-in-decodable format (PPM P6 / 24-bit BMP / 8-bit PNG)")
 
 
 def _pool_4x4(gray: np.ndarray) -> np.ndarray:
@@ -169,7 +275,8 @@ def image_features(
 
         def featurize(payload: bytes) -> tuple[str, list[float]]:
             """The ``decoder`` label reports what actually produced the
-            features: 'pillow' / 'builtin-ppm' / 'builtin-bmp' ONLY for
+            features: 'pillow' / 'builtin-ppm' / 'builtin-bmp' /
+            'builtin-png' ONLY for
             a successful REAL decode, 'stub-histogram' for the
             deterministic fallback (codec formats with no library)."""
             if Image is not None:
@@ -191,8 +298,8 @@ def image_features(
             except ValueError:
                 if require_real_decode:
                     raise NotImplementedError(
-                        "real decode unavailable: payload is not PPM/BMP and "
-                        "no image library is installed"
+                        "real decode unavailable: payload is not PPM/BMP/PNG "
+                        "and no image library is installed"
                     )
             return "stub-histogram", _fake_features(payload).tolist()
 

@@ -270,6 +270,126 @@ def test_image_features_builtin_real_decode_e2e(spark):
     assert multimodal.image_features(garbage).collect()[0]["decoder"] == "stub-histogram"
 
 
+def _make_png(px: np.ndarray, color_type: int, filters: list[int], plte=None) -> bytes:
+    """Minimal PNG writer (test-only): 8-bit, no interlace, explicit
+    per-row filter types so every unfilter branch is exercised."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    h, w, ch = px.shape
+    bpp = ch
+    out = b""
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])) & 0xFF
+        elif ft == 2:
+            enc = (row - prev) & 0xFF
+        elif ft == 3:
+            enc = np.empty_like(row)
+            for x in range(row.size):
+                left = row[x - bpp] if x >= bpp else 0
+                enc[x] = (row[x] - (left + prev[x]) // 2) & 0xFF
+        else:  # 4 = Paeth
+            enc = np.empty_like(row)
+            for x in range(row.size):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) & 0xFF
+        out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return png + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+
+
+def test_png_decoder_roundtrip_all_filters_and_color_types():
+    """The stdlib-zlib + numpy PNG decoder must be pixel-exact across
+    every scanline filter (None/Sub/Up/Average/Paeth) and every 8-bit
+    color type (gray, RGB, palette, gray+alpha, RGBA)."""
+    rng = np.random.default_rng(11)
+    all_filters = [0, 1, 2, 3, 4]
+
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    fmt, out = multimodal.decode_image_builtin(_make_png(rgb, 2, all_filters))
+    assert fmt == "png" and np.array_equal(out, rgb)
+
+    gray = rng.integers(0, 256, size=(6, 4, 1), dtype=np.uint8)
+    fmt, out = multimodal.decode_image_builtin(_make_png(gray, 0, all_filters))
+    assert fmt == "png" and np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 9, 1), dtype=np.uint8)
+    fmt, out = multimodal.decode_image_builtin(_make_png(idx, 3, [0, 1, 2], plte=plte))
+    assert fmt == "png" and np.array_equal(out, plte[idx[..., 0]])
+
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    fmt, out = multimodal.decode_image_builtin(_make_png(ga, 4, all_filters))
+    assert fmt == "png" and np.array_equal(out, np.repeat(ga[..., :1], 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    fmt, out = multimodal.decode_image_builtin(_make_png(rgba, 6, all_filters))
+    assert fmt == "png" and np.array_equal(out, rgba[..., :3])
+
+
+def test_png_decoder_rejects_unsupported():
+    """16-bit depth / interlaced / truncated PNGs must raise (honest
+    tier labels), never silently mis-decode."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.decode_image_builtin(sig + chunk(b"IHDR", ihdr16))
+    ihdr_il = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="unsupported"):
+        multimodal.decode_image_builtin(sig + chunk(b"IHDR", ihdr_il))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" * 5)  # far less than 4 rows of 4 px
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image_builtin(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+        )
+
+
+def test_png_feature_e2e_real_decode_label(spark):
+    """A PNG payload must take the builtin-png REAL-decode tier through
+    the mapInPandas stage (no image library present)."""
+    rgb = np.zeros((4, 8, 3), np.uint8)
+    rgb[:, 4:, :] = 255
+    png = _make_png(rgb, 2, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "payload": [png]}))
+    meta = multimodal.binary_meta(df).collect()[0]
+    assert meta["media_type"] == "image/png"
+    row = multimodal.image_features(df, require_real_decode=True).collect()[0]
+    assert row["decoder"] == "builtin-png"
+    want = np.tile([0.0, 0.0, 0.125, 0.125], 4).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(row["features"]), want, atol=1e-6)
+
+
 def test_builtin_decoder_rejects_degenerate_headers():
     """A structurally plausible but zero-dimension header must raise,
     not 'decode' to an empty image with all-zero features that would
