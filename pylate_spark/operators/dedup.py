@@ -140,6 +140,12 @@ def dedup_clusters(
     *count* reaches the driver, the standard iterative-algorithm shape).
     ``docs`` (optional) adds isolated vertices as singleton clusters.
 
+    ``max_iter`` counts label-UPDATE rounds; one extra verification
+    round runs after them (convergence is only observable as a
+    changed == 0 round, so a fixpoint reached exactly on round
+    ``max_iter`` must not raise). ``max_iter=0`` is a no-op returning
+    identity labels (every vertex its own cluster), unverified.
+
     Deduplicate the pair list first if it can contain both (a,b) and
     (b,a); edges here are symmetrized internally.
     """
@@ -150,12 +156,11 @@ def dedup_clusters(
     if docs is not None:
         verts = verts.unionByName(docs.select(F.col(id_col).alias("v"))).distinct()
     labels = verts.select("v", F.col("v").alias("lbl"))
-    changed = -1  # -1 = loop never ran (max_iter=0)
-    # max_iter + 1: convergence is only OBSERVED by a changed == 0
-    # round, so labels that reach the fixpoint exactly on round
-    # max_iter need one extra verification round before the
-    # non-convergence raise below is justified
-    for _ in range(max_iter + 1):
+    changed = -1
+    rounds = 0
+    # max_iter update rounds + 1 verification round (see docstring);
+    # max_iter <= 0 skips the loop → identity labels, no raise
+    for rounds in range(1, max_iter + 2) if max_iter > 0 else ():
         nmin = (
             edges.join(labels.withColumnRenamed("v", "t"), "t")
             .groupBy("s")
@@ -187,14 +192,16 @@ def dedup_clusters(
         if changed == 0:
             break
     else:
-        # exhausting max_iter with labels still moving means split
-        # components — silently returning them would hand callers wrong
-        # cluster assignments with no signal
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} iterations "
-            + (f"({changed} labels still changing); " if changed >= 0 else "")
-            + "raise max_iter (pointer doubling needs O(log diameter) rounds)"
-        )
+        if max_iter > 0:
+            # exhausting the budget with labels still moving means split
+            # components — silently returning them would hand callers
+            # wrong cluster assignments with no signal
+            raise RuntimeError(
+                f"dedup_clusters did not converge after {rounds} rounds "
+                f"(max_iter={max_iter} update rounds + 1 verification; "
+                f"{changed} labels still changing on the last round); "
+                "raise max_iter (pointer doubling needs O(log diameter) rounds)"
+            )
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster_id"),

@@ -94,11 +94,24 @@ def assign_docids(
 ) -> DataFrame:
     """Return ``pages`` + ``docid`` + ``shard``.
 
-    ``docid`` is the row's rank in the global ``key_col`` sort order;
-    ``shard = docid // shard_size``. ``partitions`` controls the bucket
-    count (defaults to max(session shuffle parallelism, input splits) —
-    with few shuffle partitions a narrow config would otherwise pack
-    the whole corpus into a handful of ~GB sort tasks).
+    ``docid`` is the row's rank in the global ``key_col`` sort order
+    (nulls first, before empty strings — a null-flag secondary order
+    keeps null vs. ``""`` deterministic even though both bucket as
+    ``""``); ``shard = docid // shard_size``. ``partitions`` controls
+    the bucket count (defaults to max(session shuffle parallelism,
+    input splits) — with few shuffle partitions a narrow config would
+    otherwise pack the whole corpus into a handful of ~GB sort tasks).
+
+    CONTRACT — ``pages`` must be deterministically re-readable (a
+    table/file scan, or a cached/checkpointed DataFrame): this function
+    reads its input MULTIPLE times (count, boundary sample, bucket
+    counts, rank pass), and a nondeterministic input (``.sample()``
+    without a seed, an unordered ``limit()``, a changing view) silently
+    corrupts docids — the counts pass and the rank pass would disagree.
+    ``build_index`` verifies density (max docid == n-1) after staging;
+    direct callers own that check themselves. Rows with EQUAL keys are
+    interchangeable: their relative docid order is whatever the
+    per-bucket sort produces (keys are unique by design — urls).
     """
     spark = pages.sparkSession
     n = pages.count()
@@ -170,7 +183,13 @@ def assign_docids(
     # window then reuses that partitioning (HashPartitioning(_off, P)
     # satisfies its ClusteredDistribution — no second exchange,
     # plan-pinned in tests) and only adds the per-partition sort.
-    w = Window.partitionBy("_off").orderBy(F.coalesce(F.col(key_col), F.lit("")))
+    # null-flag secondary order: null and "" coalesce to the same bucket
+    # key, so without it their relative rank would be partition-order
+    # nondeterministic; isNull DESC puts nulls first (the nulls-first
+    # position a range partitioner would give them)
+    w = Window.partitionBy("_off").orderBy(
+        F.col(key_col).isNull().desc(), F.coalesce(F.col(key_col), F.lit(""))
+    )
     return (
         pages.withColumn("_off", offset_of(skey))
         .repartition(partitions, F.col("_off"))

