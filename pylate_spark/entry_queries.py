@@ -185,6 +185,20 @@ def q_bm25_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_join_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed path's allow-list: candidates restricted to
+    docid % 3 == 0 with global corpus stats — must hash-match the same
+    subset oracle as the kernel/scan paths (reference semantics,
+    fast_plaid.py:318-340), exercising the subset semi-join on every
+    decode leg of the two-phase plan."""
+    from pylate_spark.plans.query import InvertedIndex
+
+    idx = InvertedIndex(spark, _indexed(spark, sf_dir))
+    return idx.search_join(
+        _queryset_df(spark), k=K, round_to=4, subset=list(range(0, idx.n_docs, 3))
+    )
+
+
 def q_term_stats_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global term statistics read back from the BUILT index — integer
     outputs, so the whole SPIMI pipeline (tokenize → shard shuffle →
@@ -570,6 +584,41 @@ SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+_BUCKETED_CACHE: dict[str, str] = {}
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) the bucket-partitioned
+    embedding layout; shared by the persisted-ANN catalog entry."""
+    if sf_dir not in _BUCKETED_CACHE:
+        import tempfile
+
+        from pylate_spark.operators.similarity import write_bucketed_embeddings
+
+        d = tempfile.mkdtemp(prefix="pylate_emb_buckets_")
+        write_bucketed_embeddings(
+            _emb(spark, sf_dir), d, n_planes=ANN_PLANES, dim=64
+        )
+        _BUCKETED_CACHE[sf_dir] = d
+    return _BUCKETED_CACHE[sf_dir]
+
+
+def q_ann_ivf_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-layout ANN probe (bucket as a partition column →
+    PartitionFilters-pruned scan) — must hash-match the SAME DuckDB
+    oracle as the full-scan ivf_topk: the layout changes where the
+    bytes live, never the result."""
+    from pylate_spark.operators.similarity import ivf_topk_bucketed
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk_bucketed(
+        spark, _bucketed(spark, sf_dir), queries, k=K, n_probe=ANN_PROBE
+    )
+
+
 NEAR_DUP_MIN_COS = 0.35  # testdata embeddings are near-orthogonal
                          # (max pairwise cos ≈ 0.51); this threshold
                          # makes the operator provably non-vacuous at
@@ -865,6 +914,7 @@ def catalog() -> dict[str, tuple]:
         "bm25_conjunctive": (q_bm25_conjunctive, _bm25_conjunctive_sql()),
         "bm25_topk_indexed": (q_bm25_topk_indexed, _bm25_sql()),
         "bm25_join_topk": (q_bm25_join_topk, _bm25_sql()),
+        "bm25_join_subset": (q_bm25_join_subset, _bm25_sql(extra_where="tf.doc_id % 3 = 0")),
         "term_stats_indexed": (q_term_stats_indexed, SQL_TERM_DF_TOP100),
         "doc_vectors_indexed": (q_doc_vectors_indexed, SQL_DOC_VECTORS),
         "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
@@ -879,6 +929,7 @@ def catalog() -> dict[str, tuple]:
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),
+        "ann_ivf_topk_bucketed": (q_ann_ivf_topk_bucketed, _ann_ivf_sql()),
         "embedding_near_dups": (q_embedding_near_dups, _near_dup_sql()),
         "eval_ndcg": (q_eval_ndcg, _eval_ndcg_sql()),
         "eval_recall": (q_eval_recall, _eval_recall_sql()),
