@@ -11,6 +11,10 @@
   ``pylate/indexes/stanford_nlp/search/candidate_generation.py:10-39``)
   followed by exact cosine over the probed buckets only. Approximate
   (recall < 1 possible), like the reference's ``n_ivf_probe`` knob.
+- :func:`write_bucketed_embeddings` / :func:`ivf_topk_bucketed` — the
+  persisted form of the same probe: bucket as a PARTITION COLUMN,
+  probe as a PartitionFilters-pruned scan (results identical to
+  :func:`ivf_topk`; PLANS.md §8).
 """
 
 from __future__ import annotations
@@ -148,9 +152,11 @@ def ivf_topk(
     n_probe: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: equi-join on LSH bucket, exact cosine
-    within the probed buckets. The bucket column is computable at write
-    time and persisted as a partition column at scale, making the probe
-    a partition-pruned scan instead of a full-corpus pass.
+    within the probed buckets. This form computes the bucket on the fly
+    (a full-corpus projection) — right for ad-hoc/in-memory inputs and
+    calibration; the SCALE path is :func:`write_bucketed_embeddings` +
+    :func:`ivf_topk_bucketed`, where the bucket is a partition column
+    and the probe is a partition-pruned scan (PLANS.md §8).
 
     ``n_probe`` is capped at :data:`MAX_N_PROBE` (values that large
     mean the caller wants (near-)exhaustive search — use
