@@ -128,6 +128,7 @@ class InvertedIndex:
         self._qset_bc = None
         #: last search()'s kernel, for lazy closure-size observability
         self._last_kernel = None
+        self._last_join_two_phase: bool | None = None
         if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
             import warnings
 
@@ -334,14 +335,29 @@ class InvertedIndex:
 
         return len(cloudpickle.dumps(self._last_kernel))
 
-    def _decoded_postings(self, terms_df: DataFrame, subset_df: DataFrame | None) -> DataFrame:
+    def _decoded_postings(
+        self,
+        terms_df: DataFrame,
+        subset_df: DataFrame | None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """Semi-join-pruned segment scan → ``mapInPandas`` posting
         decode → tombstone anti-join (→ subset semi-join). The one
-        decode leg of every search_join phase."""
+        decode leg of every search_join phase. ``buckets`` (the query
+        terms' hash buckets, ≤ ``term_buckets`` ints collected as one
+        aggregate row by search_join) lands as a literal partition
+        filter on the scan — the same ``bucket IN (...)`` pruning
+        search() does, chosen over dynamic partition pruning because
+        Spark's DPP rule declines when the filtering side has no
+        selective predicate (a query batch is a scan, not a filter),
+        and a literal IN prunes at planning time unconditionally."""
         from pylate_spark import storage
         from pylate_spark.plans.segments import decode_postings_gen
 
-        seg = self._seg.join(terms_df, "term", "left_semi").select(
+        seg = self._seg
+        if buckets is not None:
+            seg = seg.where(F.col("bucket").isin(buckets))
+        seg = seg.join(terms_df, "term", "left_semi").select(
             "term", "payload", "b_first", "b_last", "b_n", "b_max_tf", "b_min_dl", "b_off"
         )
         postings = seg.mapInPandas(
@@ -361,7 +377,7 @@ class InvertedIndex:
         k: int = 10,
         round_to: int | None = None,
         subset: list[int] | np.ndarray | None = None,
-        two_phase: bool = True,
+        two_phase: bool | str = "auto",
         head_df_cutoff: int | None = None,
     ) -> DataFrame:
         """Fully distributed query path — scatter by TERM instead of by
@@ -387,12 +403,21 @@ class InvertedIndex:
         distributed (a semi-join on docid instead of a sorted-array
         mask).
 
-        ``two_phase`` (default) bounds the head-term fan-out hazard: a
-        naive ``postings ⋈ queries ON term`` replicates a stopword's
-        ~N-row posting list once per query containing it. The two-phase
-        plan is the reference's shrinking-budget cascade
-        (``index_storage.py:186-204``) made EXACT at the plan level —
-        distributed MaxScore:
+        ``two_phase`` bounds the head-term fan-out hazard: a naive
+        ``postings ⋈ queries ON term`` replicates a stopword's ~N-row
+        posting list once per query containing it. ``"auto"`` (default)
+        is a cost-based choice from AGGREGATE statistics only (one
+        per-term distributed agg over ≤ |distinct query terms| rows,
+        ONE scalar row to the driver — never query data): engage the
+        two-phase plan iff the replicated head rows it avoids
+        (Σ_head df·n_queries_sharing − Σ_head df) exceed its own
+        machinery cost (≈ the phase-1 replicated rows the θ window and
+        candidate joins re-shuffle). Measured at 100 queries / 200k
+        docs the single-phase plan wins ~3×; at 10^5-query web batches
+        a stopword's df × fan-out dominates everything and two-phase
+        wins unboundedly. The two-phase plan is the reference's
+        shrinking-budget cascade (``index_storage.py:186-204``) made
+        EXACT at the plan level — distributed MaxScore:
 
         1. score only RARE terms (df ≤ ``head_df_cutoff``, default
            ``max(256, n_docs // 20)``) with the plain term join;
@@ -419,12 +444,16 @@ class InvertedIndex:
         is empty (no head terms / no unbounded queries) is eliminated at
         runtime without touching its scan.
 
-        Plan shape: query terms semi-join-prune the segment scan and
-        the term_stats read (both ≤ |distinct query terms| rows after
-        pruning — AQE broadcasts them when small, shuffles on ``term``
-        when not); decoded postings anti-join tombstones; (query_id,
-        docid) partial-agg shuffles; WindowGroupLimit-bounded top-k
-        merge (same final merge as search()).
+        Plan shape: the matched terms' hash buckets (≤ ``term_buckets``
+        ints, one aggregate row fused with the plan-choice estimate)
+        literal-prune every segment scan's partition filter — the same
+        ``bucket IN (...)`` pruning search() does; query terms then
+        semi-join-prune the surviving files and the term_stats read
+        (both ≤ |distinct query terms| rows after pruning — AQE
+        broadcasts them when small, shuffles on ``term`` when not);
+        decoded postings anti-join tombstones; (query_id, docid)
+        partial-agg shuffles; WindowGroupLimit-bounded top-k merge
+        (same final merge as search()).
         """
         qt = queries.select(
             F.col("query_id").cast("long").alias("query_id"),
@@ -453,8 +482,41 @@ class InvertedIndex:
                 out = scored.withColumn("score", F.col("score_d").cast("float"))
             return _rank_topk(out.drop("score_d"), k)
 
+        cutoff = head_df_cutoff if head_df_cutoff is not None else max(256, self.n_docs // 20)
+        # ONE aggregate row to the driver (never query data): the
+        # plan-choice cost estimate AND the matched terms' hash-bucket
+        # set (≤ term_buckets ints) that literal-prunes every segment
+        # scan below — fused so plan choice + partition pruning cost a
+        # single tiny job regardless of batch size.
+        est = (
+            qt.join(stats, "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("nq"), F.first("df").alias("df"))
+            .withColumn(
+                "bucket",
+                (F.crc32(F.col("term")) % F.lit(self.config.term_buckets)).cast("int"),
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("df") > cutoff, F.col("df") * (F.col("nq") - 1))
+                    .otherwise(F.lit(0))
+                ).alias("head_saved"),
+                F.sum(
+                    F.when(F.col("df") <= cutoff, F.col("df") * F.col("nq"))
+                    .otherwise(F.lit(0))
+                ).alias("rare_repl"),
+                F.collect_set("bucket").alias("buckets"),
+            )
+            .collect()[0]
+        )
+        buckets = sorted(est["buckets"] or [])
+        if two_phase == "auto":
+            two_phase = (est["head_saved"] or 0) > (est["rare_repl"] or 0)
+        # observability (test/debug): which plan the last call ran
+        self._last_join_two_phase = bool(two_phase)
+
         if not two_phase:
-            postings = self._decoded_postings(terms, subset_df)
+            postings = self._decoded_postings(terms, subset_df, buckets)
             scored = (
                 postings.join(qt, "term")
                 .join(stats, "term")
@@ -464,13 +526,13 @@ class InvertedIndex:
             )
             return finish(scored)
 
-        cutoff = head_df_cutoff if head_df_cutoff is not None else max(256, self.n_docs // 20)
         # per-term TRUE upper bound from block metadata only (payload
         # column pruned away): idf · tfn(max max_tf, min min_dl) — the
         # same UB the kernel uses per shard (plans/wand.ShardTerms),
         # here aggregated globally per term
         meta = (
-            self._seg.join(terms, "term", "left_semi")
+            self._seg.where(F.col("bucket").isin(buckets))
+            .join(terms, "term", "left_semi")
             .groupBy("term")
             .agg(
                 F.max(F.array_max("b_max_tf")).alias("ub_tf"),
@@ -492,7 +554,7 @@ class InvertedIndex:
 
         # phase 1: rare terms, plain term scatter
         post_r = self._decoded_postings(
-            tstats.where(~F.col("is_head")).select("term"), subset_df
+            tstats.where(~F.col("is_head")).select("term"), subset_df, buckets
         )
         partial = (
             post_r.join(qt_r, "term")
@@ -536,7 +598,7 @@ class InvertedIndex:
             .join(qt_h.select("query_id", "term", "df"), "query_id")
         )
         post_h = self._decoded_postings(
-            tstats.where(F.col("is_head")).select("term"), subset_df
+            tstats.where(F.col("is_head")).select("term"), subset_df, buckets
         )
         c2b = (
             post_h.join(cand_ht, ["term", "docid"])
@@ -550,7 +612,9 @@ class InvertedIndex:
         qt_h_un = qt_h.join(
             qmeta.where(~F.col("bounded")).select("query_id"), "query_id"
         ).select("query_id", "term", "df")
-        post_h_un = self._decoded_postings(qt_h_un.select("term").distinct(), subset_df)
+        post_h_un = self._decoded_postings(
+            qt_h_un.select("term").distinct(), subset_df, buckets
+        )
         c2u = (
             post_h_un.join(qt_h_un, "term")
             .withColumn("c", contrib)

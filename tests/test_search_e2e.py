@@ -258,9 +258,63 @@ def test_search_join_two_phase_cutoff_sweep(spark, built_index, queries_pdf, cut
     idx = InvertedIndex(spark, d)
     qdf = spark.createDataFrame(queries_pdf.iloc[:12])
     qs = list(zip(queries_pdf["query_id"].tolist()[:12], queries_pdf["text"].tolist()[:12]))
-    got = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=cutoff))
+    got = _collect_ranked(
+        idx.search_join(qdf, k=K, round_to=4, two_phase=True, head_df_cutoff=cutoff)
+    )
     want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4))
     assert got == want
+
+
+def test_search_join_auto_plan_choice(spark, built_index, queries_pdf):
+    """``two_phase="auto"`` is a cost-based choice from aggregate term
+    stats only. Forcing the cutoff to the extremes pins both outcomes:
+    cutoff=10^9 → no head terms → the estimator's head savings are 0 →
+    single-phase; cutoff=0 → every shared term is a head term with
+    positive fan-out savings → two-phase. Both must stay
+    rank-identical to the exhaustive kernel path."""
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qdf = spark.createDataFrame(queries_pdf.iloc[:12])
+    qs = list(zip(queries_pdf["query_id"].tolist()[:12], queries_pdf["text"].tolist()[:12]))
+    want = _collect_ranked(idx.search(qs, k=K, mode="exhaustive", round_to=4))
+
+    got1 = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=10**9))
+    assert idx._last_join_two_phase is False
+    assert got1 == want
+
+    got2 = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=0))
+    assert idx._last_join_two_phase is True
+    assert got2 == want
+
+
+def test_search_join_segment_scan_is_bucket_pruned(spark, built_index, queries_pdf):
+    """The query terms' hash buckets must land as a literal IN-list in
+    the segment scan's PartitionFilters (segments are written
+    partitionBy(batch, bucket)) — the same directory-level pruning
+    search() gets, proven here for the distributed path where DPP
+    would decline (the terms side has no selective predicate). Checked
+    on BOTH plan variants so neither regresses to a full layout scan."""
+    import contextlib
+    import io
+    import re
+
+    d, _ = built_index
+    idx = InvertedIndex(spark, d)
+    qdf = spark.createDataFrame(queries_pdf.iloc[:4])
+    for cutoff in (10**9, 0):  # single-phase and two-phase plans
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            idx.search_join(qdf, k=K, head_df_cutoff=cutoff).explain("formatted")
+        plan = buf.getvalue()
+        hits = re.findall(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+        assert hits, (cutoff, plan)  # bucket IN-list reached the scan
+        # every segment scan leg in the plan is pruned, none full-scan
+        seg_scans = [
+            s for s in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if "batch" in s or "bucket" in s
+        ]
+        assert seg_scans and all("bucket" in s for s in seg_scans), (cutoff, plan)
+        assert all(re.search(r"bucket.* (IN |INSET )", s) for s in hits), hits
 
 
 def test_search_join_subset_parity(spark, built_index, pages_t2_pdf, queries_pdf):
@@ -278,7 +332,9 @@ def test_search_join_subset_parity(spark, built_index, pages_t2_pdf, queries_pdf
     # and with a forced head split, so the subset semi-join is exercised
     # on all three decode legs
     got2 = _collect_ranked(
-        idx.search_join(qdf, k=K, round_to=4, subset=allowed, head_df_cutoff=3)
+        idx.search_join(
+            qdf, k=K, round_to=4, subset=allowed, two_phase=True, head_df_cutoff=3
+        )
     )
     assert got2 == want
 
