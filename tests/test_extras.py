@@ -42,6 +42,43 @@ def test_lsh_finds_near_dups(dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_signature_values_and_determinism(dup_docs):
+    """The shuffle-free array_min(transform(md5)) signatures must equal
+    the definitional explode + groupBy(doc_id).min(md5) values, and be
+    identical across separately-built plans. Regression for the PySpark
+    HOF pitfall where a two-parameter closure (``lambda t, _i=i:``)
+    binds the default arg to the array-INDEX lambda variable and hashes
+    its auto-generated per-call NAME — wrong values that differ run to
+    run (caught only because pair counts jittered at sf0.1)."""
+    from pylate_spark.functions.tokenize import native_tokens_col
+
+    got = {
+        (r["doc_id"], r["h"]): r["minhash"]
+        for r in dedup.minhash_signatures(dup_docs, n_hashes=4).collect()
+    }
+    again = {
+        (r["doc_id"], r["h"]): r["minhash"]
+        for r in dedup.minhash_signatures(dup_docs, n_hashes=4).collect()
+    }
+    assert got == again
+    t = dup_docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(native_tokens_col("text"))).alias("term"),
+    )
+    ref = (
+        t.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.col("term"), F.lit(f"#{i}")))).alias(f"mh{i}")
+                for i in range(4)
+            ]
+        )
+        .collect()
+    )
+    expect = {(r["doc_id"], i): r[f"mh{i}"] for r in ref for i in range(4)}
+    assert got == expect
+
+
 def test_dedup_clusters_connected_components(spark):
     """Pairs → duplicate clusters: a chain (transitivity), a clique, a
     vertex-only singleton; cluster_id = min reachable id, keep marks it."""
