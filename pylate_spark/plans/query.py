@@ -72,6 +72,22 @@ SUBSET_BROADCAST_THRESHOLD = 4096
 #: the subset allow-list got)
 QUERYSET_BROADCAST_THRESHOLD = 4096
 
+#: search_join "auto" two-phase bar, in avoided-replication rows PER
+#: CORE. Round-5 calibration (PLANS.md §9b, bench corpus, 200k docs /
+#: local[32], head_saved → single-phase vs two-phase seconds):
+#: 3.8M → 5.5 / 13.1 · 22M → 11.0 / 18.8 · 61M → 32.3 / 26.3 ·
+#: 255M → 117 / 168. Two-phase wins only a NARROW mid window at this
+#: scale (its candidate joins and unbounded-query legs grow with the
+#: batch as well), and its best measured win is 1.2× — while the
+#: hazard it exists for is unbounded (a stopword's df × 10^5-query
+#: fan-out at web scale cannot be joined single-phase at all). The
+#: risk is asymmetric, so "auto" is a SAFETY VALVE, not a marginal
+#: optimizer: it stays single-phase until the avoided replication is
+#: ~10× the measured machinery cost (≈400M rows at 32 cores — every
+#: measured point below it single-phase wins or loses ≤1.4×; a true
+#: web-scale blow-up exceeds it by orders of magnitude).
+JOIN_MACHINERY_ROWS_PER_CORE = 12_500_000
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Global top-k merge: score desc, docid asc tie-break.
 
@@ -410,12 +426,17 @@ class InvertedIndex:
         per-term distributed agg over ≤ |distinct query terms| rows,
         ONE scalar row to the driver — never query data): engage the
         two-phase plan iff the replicated head rows it avoids
-        (Σ_head df·n_queries_sharing − Σ_head df) exceed its own
-        machinery cost (≈ the phase-1 replicated rows the θ window and
-        candidate joins re-shuffle). Measured at 100 queries / 200k
-        docs the single-phase plan wins ~3×; at 10^5-query web batches
-        a stopword's df × fan-out dominates everything and two-phase
-        wins unboundedly. The two-phase plan is the reference's
+        (Σ_head df·n_queries_sharing − Σ_head df) exceed the phase-1
+        rows it re-shuffles anyway PLUS a deliberately HIGH machinery
+        bar (``JOIN_MACHINERY_ROWS_PER_CORE`` × cores). The bar is a
+        safety valve, not a marginal optimizer: round-5 calibration
+        (PLANS.md §9b) measured two-phase winning only a narrow mid
+        window (best 1.2×) at bench scale while losing up to 2.4×
+        outside it — but the hazard it guards against is unbounded
+        (a web-scale stopword's df × fan-out cannot be joined
+        single-phase at all), so the plan flips only when the avoided
+        replication is catastrophic, where two-phase wins by
+        construction. The two-phase plan is the reference's
         shrinking-budget cascade (``index_storage.py:186-204``) made
         EXACT at the plan level — distributed MaxScore:
 
@@ -511,7 +532,13 @@ class InvertedIndex:
         )
         buckets = sorted(est["buckets"] or [])
         if two_phase == "auto":
-            two_phase = (est["head_saved"] or 0) > (est["rare_repl"] or 0)
+            machinery = (
+                JOIN_MACHINERY_ROWS_PER_CORE
+                * self.spark.sparkContext.defaultParallelism
+            )
+            two_phase = (
+                (est["head_saved"] or 0) > (est["rare_repl"] or 0) + machinery
+            )
         # observability (test/debug): which plan the last call ran
         self._last_join_two_phase = bool(two_phase)
 

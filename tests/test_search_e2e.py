@@ -265,13 +265,18 @@ def test_search_join_two_phase_cutoff_sweep(spark, built_index, queries_pdf, cut
     assert got == want
 
 
-def test_search_join_auto_plan_choice(spark, built_index, queries_pdf):
+def test_search_join_auto_plan_choice(spark, built_index, queries_pdf, monkeypatch):
     """``two_phase="auto"`` is a cost-based choice from aggregate term
     stats only. Forcing the cutoff to the extremes pins both outcomes:
     cutoff=10^9 → no head terms → the estimator's head savings are 0 →
     single-phase; cutoff=0 → every shared term is a head term with
-    positive fan-out savings → two-phase. Both must stay
+    positive fan-out savings → two-phase once the (calibrated,
+    bench-scale) machinery constant is zeroed — a test corpus's few
+    thousand replicated rows must NOT clear the real ~1.25M/core bar,
+    which is itself the third pinned outcome. All plans must stay
     rank-identical to the exhaustive kernel path."""
+    import pylate_spark.plans.query as Q
+
     d, _ = built_index
     idx = InvertedIndex(spark, d)
     qdf = spark.createDataFrame(queries_pdf.iloc[:12])
@@ -282,9 +287,17 @@ def test_search_join_auto_plan_choice(spark, built_index, queries_pdf):
     assert idx._last_join_two_phase is False
     assert got1 == want
 
+    # at the real machinery constant, a tiny corpus NEVER warrants
+    # two-phase even with every term classed as head
     got2 = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=0))
-    assert idx._last_join_two_phase is True
+    assert idx._last_join_two_phase is False
     assert got2 == want
+
+    # zero the machinery bar → the estimator's stats-driven flip shows
+    monkeypatch.setattr(Q, "JOIN_MACHINERY_ROWS_PER_CORE", 0)
+    got3 = _collect_ranked(idx.search_join(qdf, k=K, round_to=4, head_df_cutoff=0))
+    assert idx._last_join_two_phase is True
+    assert got3 == want
 
 
 def test_search_join_segment_scan_is_bucket_pruned(spark, built_index, queries_pdf):
