@@ -459,6 +459,33 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 
 SQL_SIMHASH = _simhash_sql()
 
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pylate has no Hamming pairing (its near-dup story is vector
+    similarity); this is the classic web-dedup completion of simhash —
+    banded pigeonhole candidates + exact bit_count(xor) filter, never
+    all-pairs (operators/dedup.py:simhash_near_dup_pairs)."""
+    return dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_BITS
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    # brute-force all-pairs over the same simhash CTE — exactly what
+    # the banded pigeonhole plan must reproduce
+    base = _simhash_sql().strip()
+    return f"""
+WITH sh AS (
+{base}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
 
 JACCARD_SCOPE = 120
 
@@ -926,6 +953,7 @@ def catalog() -> dict[str, tuple]:
         "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
         "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
         "simhash": (q_simhash, SQL_SIMHASH),
+        "simhash_near_dup_pairs": (q_simhash_pairs, _simhash_pairs_oracle()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_sql()),

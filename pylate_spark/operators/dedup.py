@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from pylate_spark.functions.tokenize import native_tokens_col
 
 
+def _spread_to_width(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` up to cluster width when its current plan is
+    narrower. Used on the STREAM side of the band self-joins: with a
+    broadcast right side, output parallelism is the left side's
+    partitioning, and a small single-file corpus scans as ONE partition
+    — serializing the (output-dominated) pair generation on one core.
+    Spreading also balances mega-bucket skew (each task emits pairs for
+    its slice of left rows across ALL buckets). Inputs already ≥
+    cluster width keep their layout: at real scale the join is a
+    sort-merge on the band keys and AQE skew-split owns the balance."""
+    w = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < w:
+        return df.repartition(w)
+    return df
+
+
 def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -177,21 +193,7 @@ def lsh_candidate_pairs(
             .select("band", "band_hash")
         )
         banded = banded.join(small, ["band", "band_hash"], "left_semi")
-    # Pair-generation parallelism rides the LEFT side's partitioning
-    # when the right side broadcasts: a small single-file corpus scans
-    # as ONE partition, which would serialize the (output-dominated)
-    # pair join on one core. Round-robin the left side up to cluster
-    # width — this also balances mega-bucket skew, since each task
-    # emits pairs for its slice of left rows across ALL buckets. Wide
-    # inputs (≥ cluster width) keep their layout: at real scale the
-    # join is a sort-merge on (band, band_hash) and AQE skew-split
-    # owns the balance instead.
-    spark = df.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    left = banded
-    if left.rdd.getNumPartitions() < width:
-        left = left.repartition(width)
-    a = left.alias("a")
+    a = _spread_to_width(banded).alias("a")
     b = banded.alias("b")
     return (
         a.join(
@@ -322,6 +324,85 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sh = bit if sh is None else sh + bit
     return agg.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs by SimHash Hamming distance — all
+    (doc_a, doc_b, hamming) with ``hamming(simhash_a, simhash_b) ≤
+    max_hamming``, doc_a < doc_b — without an all-pairs comparison.
+
+    Candidate generation is the pigeonhole band trick (the classic
+    web-dedup formulation): split the ``bits``-bit simhash into
+    ``max_hamming + 1`` bands — a pair within Hamming ≤ r differs in at
+    most r bits, so it agrees EXACTLY on at least one band. Candidates
+    come from an equi-join on (band index, band value) — cost ∝ band
+    collisions, never n² — and the final ``bit_count(xor) ≤ r`` filter
+    makes the result exact (recall 1 by pigeonhole, precision 1 by the
+    filter). This is the missing half of :func:`simhash`: signatures
+    alone say nothing until paired, and pairing them naively is the n²
+    trap the banded join avoids.
+
+    ``max_bucket_size`` is the same mega-bucket skew guard as
+    :func:`lsh_candidate_pairs` (boilerplate corpora put thousands of
+    identical simhashes in one band bucket; route those to
+    :func:`exact_dedup`). Default None = exact semantics, what the
+    DuckDB all-pairs oracle checks."""
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(df, bits=bits, id_col=id_col, text_col=text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("p")).select(
+        "doc_id",
+        "simhash",
+        F.col("p.band").alias("band"),
+        F.col("p.band_val").alias("band_val"),
+    )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") <= max_bucket_size)
+            .select("band", "band_val")
+        )
+        banded = banded.join(small, ["band", "band_val"], "left_semi")
+    left = _spread_to_width(banded)
+    a = left.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -42,6 +42,47 @@ def test_lsh_finds_near_dups(dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_near_dup_pairs_exact_vs_all_pairs(spark):
+    """The banded pigeonhole candidates + bit_count filter must equal
+    the brute-force all-pairs Hamming result exactly (recall 1 by
+    pigeonhole: a pair within Hamming ≤ r agrees on ≥1 of r+1 bands)."""
+    import pandas as pd
+
+    rows = [(i, f"alpha beta gamma delta w{i % 4} common words here") for i in range(24)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for r in (0, 2, 5):
+        got = {
+            (x["doc_a"], x["doc_b"], x["hamming"])
+            for x in dedup.simhash_near_dup_pairs(df, max_hamming=r, bits=32).collect()
+        }
+        sh = {x["doc_id"]: x["simhash"] for x in dedup.simhash(df, bits=32).collect()}
+        ids = sorted(sh)
+        want = {
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= r
+        }
+        assert got == want, f"max_hamming={r}"
+
+
+def test_simhash_near_dup_pairs_bucket_guard(spark):
+    """Mega band-buckets (identical docs) are excluded by
+    max_bucket_size, like lsh_candidate_pairs."""
+    import pandas as pd
+
+    rows = [(i, "identical text every time") for i in range(10)] + [
+        (100, "something rather different entirely"),
+        (101, "something rather different entirely"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = dedup.simhash_near_dup_pairs(df, max_hamming=0)
+    assert uncapped.count() == 45 + 1  # C(10,2) + the pair (100, 101)
+    capped = dedup.simhash_near_dup_pairs(df, max_hamming=0, max_bucket_size=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+
 def test_minhash_signature_values_and_determinism(dup_docs):
     """The shuffle-free array_min(transform(md5)) signatures must equal
     the definitional explode + groupBy(doc_id).min(md5) values, and be
