@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pylate_spark.functions.tokenize import native_tokens_col
 
 
-def _spread_to_width(df: DataFrame) -> DataFrame:
+def _spread_to_width(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Round-robin ``df`` up to cluster width when its current plan is
     narrower. Used on the STREAM side of the band self-joins: with a
     broadcast right side, output parallelism is the left side's
@@ -34,11 +34,43 @@ def _spread_to_width(df: DataFrame) -> DataFrame:
     Spreading also balances mega-bucket skew (each task emits pairs for
     its slice of left rows across ALL buckets). Inputs already ≥
     cluster width keep their layout: at real scale the join is a
-    sort-merge on the band keys and AQE skew-split owns the balance."""
+    sort-merge on the band keys and AQE skew-split owns the balance.
+
+    ``probe`` (a narrow ancestor of ``df`` with the same scan width,
+    e.g. the pre-guard projection plan) is what ``.rdd`` width is read
+    from: converting a plan that CONTAINS shuffles (the mega-bucket
+    guard's groupBy + semi-join) to an RDD makes AQE eagerly
+    materialize those query stages in a throwaway execution the final
+    join cannot reuse — the bucket-count aggregation would run twice.
+    Projection-only plans convert without running a job."""
     w = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < w:
+    if (probe if probe is not None else df).rdd.getNumPartitions() < w:
         return df.repartition(w)
     return df
+
+
+def _prune_mega_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """The shared skew guard of the three pair pipelines
+    (:func:`lsh_candidate_pairs`, :func:`simhash_near_dup_pairs`,
+    :func:`ngram_jaccard_pairs`): drop bucket keys whose member count
+    exceeds ``max_bucket_size`` before the self-equi-join — a
+    degenerate bucket (boilerplate shared by 10^5 docs at web scale)
+    turns the join into bucket² rows on its own. Excluded buckets'
+    members are near-identical boilerplate; route them to
+    :func:`exact_dedup`, which handles any group size linearly.
+    ``None`` = exact semantics (every bucket enumerated — what the
+    DuckDB oracles check)."""
+    if max_bucket_size is None:
+        return banded
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(small, keys, "left_semi")
 
 
 def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -185,15 +217,9 @@ def lsh_candidate_pairs(
     banded = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
         "doc_id", F.col("p.band").alias("band"), F.col("p.band_hash").alias("band_hash")
     )
-    if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .where(F.col("bucket_n") <= max_bucket_size)
-            .select("band", "band_hash")
-        )
-        banded = banded.join(small, ["band", "band_hash"], "left_semi")
-    a = _spread_to_width(banded).alias("a")
+    pre_guard = banded
+    banded = _prune_mega_buckets(banded, ["band", "band_hash"], max_bucket_size)
+    a = _spread_to_width(banded, probe=pre_guard).alias("a")
     b = banded.alias("b")
     return (
         a.join(
@@ -375,15 +401,11 @@ def simhash_near_dup_pairs(
         F.col("p.band").alias("band"),
         F.col("p.band_val").alias("band_val"),
     )
-    if max_bucket_size is not None:
-        small = (
-            banded.groupBy("band", "band_val")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .where(F.col("bucket_n") <= max_bucket_size)
-            .select("band", "band_val")
-        )
-        banded = banded.join(small, ["band", "band_val"], "left_semi")
-    left = _spread_to_width(banded)
+    banded = _prune_mega_buckets(banded, ["band", "band_val"], max_bucket_size)
+    # probe the INPUT's scan width, not banded: banded always contains
+    # the simhash groupBy, so .rdd on it would eagerly run those agg
+    # stages in a throwaway execution (see _spread_to_width)
+    left = _spread_to_width(banded, probe=df.select(F.col(id_col)))
     a = left.alias("a")
     b = banded.alias("b")
     return (
@@ -411,10 +433,20 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all doc pairs sharing >= 1 shingle
     (use on LSH candidates or scoped subsets; the shingle equi-join is
-    the candidate generator). Returns (doc_a, doc_b, jaccard)."""
+    the candidate generator). Returns (doc_a, doc_b, jaccard).
+
+    ``max_bucket_size`` is the same mega-bucket guard as the sibling
+    pair pipelines (:func:`_prune_mega_buckets`): a boilerplate shingle
+    shared by 10^5 docs is 10^10 join rows on its own. With the guard
+    set, over-shared shingles are excluded from BOTH the intersection
+    count and the per-doc set sizes, so ``jaccard`` is the exact
+    Jaccard over the *filtered* shingle space — the idf-style reading
+    (a shingle in everything carries no similarity evidence). Default
+    ``None`` = exact full-space semantics (the oracle-checked mode)."""
     toks = native_tokens_col(text_col)
     sh = F.array_distinct(
         F.transform(
@@ -425,6 +457,7 @@ def ngram_jaccard_pairs(
     shingles = df.select(
         F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
     ).where(F.col("shingle") != "")
+    shingles = _prune_mega_buckets(shingles, ["shingle"], max_bucket_size)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")

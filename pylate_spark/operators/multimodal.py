@@ -127,6 +127,8 @@ def _png_decode(payload: bytes) -> np.ndarray:
         if len(data) != ln:
             raise ValueError("PNG chunk truncated")
         if typ == b"IHDR":
+            if ln < 13:
+                raise ValueError(f"PNG IHDR truncated (len={ln})")
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             bit_depth, color_type = data[8], data[9]
@@ -168,7 +170,12 @@ def _png_decode(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("PNG palette image missing PLTE")
-        return plte[px[..., 0]]
+        idx = px[..., 0]
+        if idx.size and int(idx.max()) >= plte.shape[0]:
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} >= palette size {plte.shape[0]}"
+            )
+        return plte[idx]
     if color_type == 4:
         return np.repeat(px[..., :1], 3, axis=2)
     return px[..., :3]  # 6: RGBA → RGB

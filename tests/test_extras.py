@@ -265,6 +265,49 @@ def test_lsh_bucket_size_guard(spark):
     assert got == {(10, 11)}  # mega-bucket suppressed, small bucket kept
 
 
+def test_ngram_jaccard_bucket_size_guard(spark):
+    """The same mega-bucket guard on the shingle self-join: a shingle
+    shared by every doc (boilerplate) is excluded from candidate
+    generation AND from the set sizes (Jaccard over the filtered
+    shingle space); default None keeps exact full-space semantics."""
+    boiler = "all rights reserved copyright"  # one shared 4-token run
+    rows = [(i, f"{boiler} unique body {i} {i} {i}") for i in range(8)]
+    rows += [(20, "two peas in a pod here"), (21, "two peas in a pod here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, min_jaccard=0.01)
+    # every boilerplate doc pairs with every other via the shared shingles
+    assert uncapped.count() == 28 + 1
+    capped = dedup.ngram_jaccard_pairs(df, n=3, min_jaccard=0.01, max_bucket_size=4)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # boilerplate shingles suppressed -> only the genuine duplicate pair,
+    # at jaccard 1.0 over the filtered shingle space
+    assert set(got) == {(20, 21)}
+    assert got[(20, 21)] == 1.0
+
+
+def test_png_decoder_rejects_malformed_ihdr_and_palette():
+    """Corrupt PNGs must raise ValueError (featurize's fallback
+    contract), not IndexError: an IHDR chunk shorter than 13 bytes, and
+    a palette image whose pixel indices exceed the PLTE size."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_image_builtin(sig + chunk(b"IHDR", b"\x00\x01\x02"))
+    # 2x2 palette image indexing entry 5 of a 2-entry palette
+    idx = np.array([[[0], [1]], [[1], [5]]], np.uint8)
+    plte = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_image_builtin(_make_png(idx, 3, [0, 0], plte=plte))
+
+
 def test_embedding_near_dup_bucket_guard(spark):
     """Same skew guard on the embedding-LSH self-join: a degenerate
     bucket (here 8 identical vectors — bucket² pairs at web scale) is
