@@ -4,7 +4,8 @@ exactly-equivalent DuckDB SQL oracle string.
 
 Cross-engine determinism rules used throughout (see
 ``pylate_spark.functions.bm25`` docstring):
-- tokens = ``regexp_extract_all(lower(text), '[a-z0-9]+')`` in both;
+- tokens = ``functions.tokenize.token_sql`` / ``native_tokens_col``
+  (one shared engine-default definition — unicode ranges — in both);
 - every float column is ``round(x, N)`` of float64 math in both, and
   rankings order by the *rounded* value with an id tie-break;
 - every hash is md5-hex (identical in Spark/DuckDB/Python);
@@ -18,11 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pylate_spark.config import ENGLISH_STOPWORDS
-from pylate_spark.functions.tokenize import native_tokens_col
+from pylate_spark.functions.tokenize import native_tokens_col, token_sql
 from pylate_spark.operators import dedup, multimodal, similarity, textstats
 from pylate_spark.plans.query import bm25_scan_topk
 
-TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+TOKEN_SQL = token_sql("text")  # engine-default (unicode) definition
+QTOKEN_SQL = token_sql("qtext")
 K = 10
 
 #: fixed reference query set over the testdata ``documents`` table
@@ -73,7 +75,7 @@ tf AS (
 ),
 q(query_id, qtext) AS (VALUES {_QUERY_VALUES}),
 qt AS (
-  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term
+  SELECT DISTINCT query_id, unnest({QTOKEN_SQL}) AS term
   FROM q
 ),
 dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
@@ -310,6 +312,48 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKENIZE_TF = f"""
 SELECT doc_id AS docid, term, CAST(count(*) AS BIGINT) AS tf
 FROM (SELECT doc_id, unnest({TOKEN_SQL}) AS term FROM documents WHERE doc_id < 20)
+GROUP BY doc_id, term
+"""
+
+#: fixed multilingual fixture — exercises the unicode token definition
+#: (functions/tokenize.WORD_RANGES) across scripts, including the two
+#: case-fold repairs the engines disagree on (word-final Σ → σ fold,
+#: İ → i + stripped combining dot). No apostrophes: the texts embed in
+#: a SQL VALUES list verbatim.
+UNICODE_DOCS: list[tuple[int, str]] = [
+    (0, "Grüße aus MÜNCHEN — schön!"),
+    (1, "ΑΣ και ΒΟΥΣ στην ΕΛΛΑΔΑ"),
+    (2, "İstanbul VE ısı Türkçe"),
+    (3, "Привет, мир! Москва 42"),
+    (4, "日本語のテキスト 한국어 テスト"),
+    (5, "مرحبا بالعالم שלום עולם"),
+    (6, "नमस्ते दुनिया สวัสดี ๑๒๓"),
+    (7, "Tiếng Việt rất hay ẞ groß"),
+    (8, "mixed ASCII and ελληνικά words 123"),
+    (9, "...!!! — ¿no token runs? sí: 42µ"),
+]
+
+
+def q_tokenize_tf_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.createDataFrame(UNICODE_DOCS, "doc_id long, text string")
+    return (
+        d.select(
+            F.col("doc_id").alias("docid"),
+            F.explode(native_tokens_col("text")).alias("term"),
+        )
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_UNICODE_VALUES = ", ".join(f"({i}, '{t}')" for i, t in UNICODE_DOCS)
+
+SQL_TOKENIZE_TF_UNICODE = f"""
+SELECT doc_id AS docid, term, CAST(count(*) AS BIGINT) AS tf
+FROM (
+  SELECT doc_id, unnest({TOKEN_SQL}) AS term
+  FROM (SELECT * FROM (VALUES {_UNICODE_VALUES}) AS v(doc_id, text))
+)
 GROUP BY doc_id, term
 """
 
@@ -948,6 +992,7 @@ def catalog() -> dict[str, tuple]:
         "term_df_top100": (q_term_df_top100, SQL_TERM_DF_TOP100),
         "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
         "tokenize_tf": (q_tokenize_tf, SQL_TOKENIZE_TF),
+        "tokenize_tf_unicode": (q_tokenize_tf_unicode, SQL_TOKENIZE_TF_UNICODE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "minhash_signatures": (q_minhash, SQL_MINHASH),
         "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),

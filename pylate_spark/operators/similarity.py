@@ -252,6 +252,43 @@ def load_bucket_manifest(path: str) -> dict:
     return json.loads(storage.read_text(storage.join(path, BUCKET_MANIFEST)))
 
 
+def append_bucketed_embeddings(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental add for a persisted bucketed layout — the ANN-side
+    analog of the inverted index's ``add_documents``
+    (``/root/reference/pylate/indexes/stanford_nlp/index_updater.py:142-163``):
+    new vectors are hashed with the LAYOUT'S OWN hyperplanes (planes /
+    dim / seed come from the manifest, never from caller arguments, so
+    an append can never mix bucket geometries) and appended into the
+    existing ``bucket=`` partition directories. A subsequent
+    :func:`ivf_topk_bucketed` probe is identical to one over a full
+    rewrite of the combined corpus — the probe replays the manifest
+    geometry either way (parity pinned by
+    ``tests/test_similarity_recall.py``).
+
+    Contract: single writer (parquet append is per-file atomic but not
+    transactional across partitions — same discipline as any parquet
+    append); vec ids are the caller's to keep unique, exactly as the
+    reference's ``IndexUpdater.add`` trusts its caller. Appends only
+    CREATE new files, so a crash mid-append leaves whole files at
+    worst duplicated on retry — re-run with the same batch only after
+    deduplicating ids upstream."""
+    meta = load_bucket_manifest(path)
+    planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), seed=int(meta["seed"]))
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nv"),
+        bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    out.write.mode("append").partitionBy("bucket").parquet(path)
+    return meta
+
+
 def ivf_topk_bucketed(
     spark,
     path: str,
@@ -404,6 +441,56 @@ def ivf_topk_auto(
     out = ivf_topk(
         emb, queries, k=k, n_planes=n_planes, dim=dim, seed=seed,
         n_probe=n_probe, qid_col=qid_col, **cols,
+    )
+    return out, n_probe
+
+
+def ivf_topk_auto_bucketed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    curve: list[dict] | None = None,
+    calibration_queries: int = 32,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> tuple[DataFrame, int]:
+    """:func:`ivf_topk_auto` for a PERSISTED bucketed layout: the
+    calibrated probe count drives :func:`ivf_topk_bucketed`'s
+    partition-pruned scan, not a full-corpus recompute. Calibration
+    (when no ``curve`` is passed) measures recall of the PRUNED probe
+    itself at each probe point against one exact brute-force pass over
+    the persisted corpus for a small query sample — so the curve
+    describes exactly the path that will serve the traffic. At scale:
+    calibrate once on a sample, persist the curve, pass it in."""
+    meta = load_bucket_manifest(path)
+    n_planes = int(meta["n_planes"])
+    if curve is None:
+        sample = queries.orderBy(qid_col).limit(calibration_queries)
+        corpus = spark.read.parquet(path).select(
+            "vec_id", F.col("vec").alias("embedding")
+        )
+        exact = cosine_topk(
+            corpus, sample, k=k, qid_col=qid_col, qvec_col=qvec_col
+        )
+        exact = exact.localCheckpoint(eager=False)  # one brute-force pass, reused per point
+        probes = [p for p in (1, 2, 4, 8, 16, 32) if p <= 2**n_planes]
+        curve = []
+        for p in probes:
+            approx = ivf_topk_bucketed(
+                spark, path, sample, k=k, n_probe=p,
+                qid_col=qid_col, qvec_col=qvec_col,
+            )
+            rows = recall_at_k(exact, approx, k=k).collect()
+            r = sum(x["recall"] for x in rows) / max(len(rows), 1)
+            curve.append({"n_probe": p, "recall": float(r)})
+            if r >= target_recall:
+                break  # larger probe counts cost scan I/O for nothing
+    n_probe = choose_n_probe(curve, target_recall, n_planes=n_planes)
+    out = ivf_topk_bucketed(
+        spark, path, queries, k=k, n_probe=n_probe,
+        qid_col=qid_col, qvec_col=qvec_col,
     )
     return out, n_probe
 

@@ -9,7 +9,7 @@ implementation) combined with its golden end-to-end retrieval tests
 (``tests/test_retriever.py:6-80``).
 
 Determinism contract (FIXTURES.md §5):
-- tokens = ``re.findall('[a-z0-9]+', text.lower())``
+- tokens = ``tokenize_py(text)`` (the engine-default definition)
 - N / avgdl over documents with >= 1 token
 - idf = ln((N - df + 0.5) / (df + 0.5) + 1)
 - distinct query terms (set semantics), accumulated in sorted term

@@ -234,7 +234,7 @@ def _stage_corpus(
             "shard", (F.col("docid") / F.lit(config.shard_size)).cast("long")
         )
     staged = (
-        with_ids.withColumn("dl", F.size(native_tokens_col(text_col)))
+        with_ids.withColumn("dl", F.size(native_tokens_col(text_col, config.token_pattern)))
         .withColumn("batch", (F.col("shard") / F.lit(shards_per_batch)).cast("long"))
         .select(
             "batch",
@@ -312,7 +312,7 @@ def _build_one_batch(
     # to a handful of straggler tasks).
     sharded = staged.repartition(shards_per_batch, "shard").select("docid", "text")
     tl = (
-        terms_long(sharded, id_col="docid", text_col="text")
+        terms_long(sharded, id_col="docid", text_col="text", pattern=config.token_pattern)
         .withColumn("shard", (F.col("docid") / F.lit(config.shard_size)).cast("long"))
         .withColumn("bucket", (F.crc32(F.col("term")) % F.lit(n_buckets)).cast("int"))
     )
@@ -372,6 +372,7 @@ def _tombstone_deltas(spark: SparkSession, paths: IndexPaths, manifest: dict):
     """(per-term df/cf deltas DF, n_deleted_tokenized, deleted sum_dl)
     for all tombstoned docids, recomputed exactly from staged text.
     Returns (None, 0, 0) when there are no tombstones."""
+    config = IndexConfig.from_dict(manifest["config"])
     tomb_dir = active_dir(paths, manifest, "tombstones")
     if not storage.exists(tomb_dir):
         return None, 0, 0
@@ -381,7 +382,7 @@ def _tombstone_deltas(spark: SparkSession, paths: IndexPaths, manifest: dict):
     from pylate_spark.functions.tokenize import terms_long as _tl
 
     deltas = (
-        _tl(deleted.select("docid", "text"))
+        _tl(deleted.select("docid", "text"), pattern=config.token_pattern)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_del"), F.sum("tf").alias("cf_del"))
     )

@@ -293,6 +293,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     if not manifest.get("finalized"):
         raise ValueError("delete_documents requires a finalized index")
     manifest = _repair_pending_add(paths, manifest)
+    config = IndexConfig.from_dict(manifest["config"])
 
     ids_df = spark.createDataFrame([(int(d),) for d in docids], "docid long").distinct()
     tomb_dir = active_dir(paths, manifest, "tombstones")
@@ -313,7 +314,7 @@ def delete_documents(spark: SparkSession, index_dir: str, docids: list[int]) -> 
     staged = spark.read.parquet(active_dir(paths, manifest, "staging"))
     deleted = staged.join(F.broadcast(ids_df), "docid", "inner")
     deltas = (
-        terms_long(deleted.select("docid", "text"))
+        terms_long(deleted.select("docid", "text"), pattern=config.token_pattern)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_del"), F.sum("tf").alias("cf_del"))
     )

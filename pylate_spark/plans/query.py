@@ -22,6 +22,7 @@ Entry points:
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -32,7 +33,12 @@ from pyspark.sql import types as T
 
 from pylate_spark.config import BM25Params, IndexConfig
 from pylate_spark.functions.bm25 import bm25_score_col, idf_np
-from pylate_spark.functions.tokenize import terms_long, tokenize_py, tokenize_udf
+from pylate_spark.functions.tokenize import (
+    TOKEN_PATTERN,
+    make_tokenize_udf,
+    terms_long,
+    tokenize_py,
+)
 from pylate_spark.plans.build import IndexPaths, active_dir, load_manifest
 from pylate_spark.plans.wand import score_shard
 
@@ -145,6 +151,10 @@ class InvertedIndex:
         #: last search()'s kernel, for lazy closure-size observability
         self._last_kernel = None
         self._last_join_two_phase: bool | None = None
+        #: queries are always tokenized with the INDEX's persisted
+        #: token definition (IndexConfig.tokenizer) — a query must see
+        #: the terms the build wrote
+        self._tokenize_udf = make_tokenize_udf(self.config.token_pattern)
         if tomb is not None and tomb.size >= TOMBSTONE_COMPACT_ADVICE:
             import warnings
 
@@ -153,6 +163,19 @@ class InvertedIndex:
                 "pylate_spark.plans.maintenance.compact() to rewrite segments",
                 stacklevel=2,
             )
+
+    def _join_machinery_rows_per_core(self) -> int:
+        """The ``two_phase="auto"`` safety-valve bar, resolved per
+        deployment: ``PYLATE_JOIN_MACHINERY_ROWS_PER_CORE`` env var >
+        ``IndexConfig.join_machinery_rows_per_core`` (persisted in the
+        manifest at build time) > the module default calibrated on this
+        box (``scripts/calibrate_join.py`` re-measures it)."""
+        env = os.environ.get("PYLATE_JOIN_MACHINERY_ROWS_PER_CORE")
+        if env:
+            return int(env)
+        if self.config.join_machinery_rows_per_core is not None:
+            return int(self.config.join_machinery_rows_per_core)
+        return JOIN_MACHINERY_ROWS_PER_CORE
 
     # -- id resolution (the reference's id<->docid pickles,
     #    fast_plaid.py:136-174) ------------------------------------
@@ -251,7 +274,10 @@ class InvertedIndex:
             qrows = [(r["query_id"], r["text"]) for r in queries.collect()]
         else:
             qrows = list(queries)
-        qmap = {int(qid): sorted(set(tokenize_py(text))) for qid, text in qrows}
+        qmap = {
+            int(qid): sorted(set(tokenize_py(text, self.config.token_pattern)))
+            for qid, text in qrows
+        }
         all_terms = sorted({t for ts in qmap.values() for t in ts})
         if not all_terms:
             return self.spark.createDataFrame([], _ranked_schema(round_to))
@@ -460,10 +486,23 @@ class InvertedIndex:
            rounded-rank margin, plans/wand.py) or 1e-3 for raw-float
            emit — pruning is only ever made MORE conservative by it.
 
-        Each phase decodes its own semi-join-pruned segment leg, so no
-        posting is decoded twice; with AQE on, a phase whose build side
-        is empty (no head terms / no unbounded queries) is eliminated at
-        runtime without touching its scan.
+        Each phase decodes its own semi-join-pruned segment leg. Rare
+        terms are decoded once (phase 1 only); a head term is decoded
+        once for phase 2a and — when some query is unbounded — its
+        postings appear again in phase 2b's leg, which is semi-join-
+        pruned to exactly the unbounded queries' terms (so the
+        duplicated decode is bounded by the stopword-only queries'
+        term set, usually empty; results are exact either way because
+        the bounded/unbounded query sets are disjoint). With AQE on, a
+        phase whose build side is empty (no head terms / no unbounded
+        queries) is eliminated at runtime without touching its scan.
+
+        Determinism contract (same as :func:`assign_docids`): the
+        ``queries`` input is evaluated once up front and pinned with a
+        lazy ``localCheckpoint``, so the plan-choice estimate, the
+        bucket allow-list, and every scoring leg see the SAME tokenized
+        batch even if the input is nondeterministic (unseeded sample,
+        mutating view) — re-read skew cannot silently drop postings.
 
         Plan shape: the matched terms' hash buckets (≤ ``term_buckets``
         ints, one aggregate row fused with the plan-choice estimate)
@@ -476,15 +515,39 @@ class InvertedIndex:
         partial-agg shuffles; WindowGroupLimit-bounded top-k merge
         (same final merge as search()).
         """
-        qt = queries.select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.explode(tokenize_udf(F.col("text"))).alias("term"),
-        ).distinct()
-        terms = qt.select("term").distinct()
+        # (query_id, term) pairs, unique per query by construction:
+        # array_distinct dedups INSIDE the tokenize projection (BM25
+        # sums each query term once), so qt needs no global distinct —
+        # the old ``.distinct()`` was a full shuffle of the batch.
+        # lazy localCheckpoint: materialized by the first job (the
+        # estimate/bucket collect below), then every later subplan
+        # reference — phase legs, the final merge — reuses the pinned
+        # rows instead of re-running the tokenize UDF (the plan appears
+        # 6+ times in the two-phase form; re-evaluating it per
+        # reference was a measurable slice of the path's constant, and
+        # the determinism contract above requires a single read).
+        qt = (
+            queries.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.explode(
+                    F.array_distinct(self._tokenize_udf(F.col("text")))
+                ).alias("term"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # duplicate terms across queries are fine everywhere this is
+        # used: semi-joins dedup by construction, the estimate
+        # aggregates per term, collect_set dedups buckets
+        terms = qt.select("term")
+        # ≤ |distinct query terms| rows after the semi-join — pinned
+        # for the same reason (referenced by the estimate, the scoring
+        # join, and the two-phase metadata leg; each reference would
+        # otherwise re-scan the term_stats parquet)
         stats = (
             self.spark.read.parquet(active_dir(self.paths, self.manifest, "term_stats"))
             .join(terms, "term", "left_semi")
             .select("term", "df")
+            .localCheckpoint(eager=False)
         )
         subset_df = None
         if subset is not None:
@@ -504,41 +567,53 @@ class InvertedIndex:
             return _rank_topk(out.drop("score_d"), k)
 
         cutoff = head_df_cutoff if head_df_cutoff is not None else max(256, self.n_docs // 20)
-        # ONE aggregate row to the driver (never query data): the
-        # plan-choice cost estimate AND the matched terms' hash-bucket
-        # set (≤ term_buckets ints) that literal-prunes every segment
-        # scan below — fused so plan choice + partition pruning cost a
-        # single tiny job regardless of batch size.
-        est = (
-            qt.join(stats, "term")
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("nq"), F.first("df").alias("df"))
-            .withColumn(
-                "bucket",
-                (F.crc32(F.col("term")) % F.lit(self.config.term_buckets)).cast("int"),
-            )
-            .agg(
-                F.sum(
-                    F.when(F.col("df") > cutoff, F.col("df") * (F.col("nq") - 1))
-                    .otherwise(F.lit(0))
-                ).alias("head_saved"),
-                F.sum(
-                    F.when(F.col("df") <= cutoff, F.col("df") * F.col("nq"))
-                    .otherwise(F.lit(0))
-                ).alias("rare_repl"),
-                F.collect_set("bucket").alias("buckets"),
-            )
-            .collect()[0]
-        )
-        buckets = sorted(est["buckets"] or [])
+        bucket_col = (
+            F.crc32(F.col("term")) % F.lit(self.config.term_buckets)
+        ).cast("int")
         if two_phase == "auto":
-            machinery = (
-                JOIN_MACHINERY_ROWS_PER_CORE
-                * self.spark.sparkContext.defaultParallelism
+            # ONE aggregate row to the driver (never query data): the
+            # plan-choice cost estimate AND the matched terms'
+            # hash-bucket set (≤ term_buckets ints) that literal-prunes
+            # every segment scan below — fused so plan choice +
+            # partition pruning cost a single tiny job regardless of
+            # batch size.
+            est = (
+                qt.join(stats, "term")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("nq"), F.first("df").alias("df"))
+                .withColumn("bucket", bucket_col)
+                .agg(
+                    F.sum(
+                        F.when(F.col("df") > cutoff, F.col("df") * (F.col("nq") - 1))
+                        .otherwise(F.lit(0))
+                    ).alias("head_saved"),
+                    F.sum(
+                        F.when(F.col("df") <= cutoff, F.col("df") * F.col("nq"))
+                        .otherwise(F.lit(0))
+                    ).alias("rare_repl"),
+                    F.collect_set("bucket").alias("buckets"),
+                )
+                .collect()[0]
+            )
+            buckets = sorted(est["buckets"] or [])
+            machinery = self._join_machinery_rows_per_core() * (
+                self.spark.sparkContext.defaultParallelism
             )
             two_phase = (
                 (est["head_saved"] or 0) > (est["rare_repl"] or 0) + machinery
             )
+        else:
+            # explicit two_phase: the caller opted out of the cost
+            # estimate, so the pre-job shrinks to the bucket allow-list
+            # alone — no term_stats scan, no stats join. Buckets of
+            # terms absent from the corpus only widen the IN list
+            # (their partitions hold no matching postings).
+            est = (
+                terms.select(bucket_col.alias("bucket"))
+                .agg(F.collect_set("bucket").alias("buckets"))
+                .collect()[0]
+            )
+            buckets = sorted(est["buckets"] or [])
         # observability (test/debug): which plan the last call ran
         self._last_join_two_phase = bool(two_phase)
 
@@ -674,6 +749,7 @@ def bm25_scan_topk(
     round_to: int | None = None,
     allowed_filter: Column | None = None,
     conjunctive: bool = False,
+    pattern: str = TOKEN_PATTERN,
 ) -> DataFrame:
     """Index-free BM25 top-k, expressed as a declarative DataFrame plan
     (Catalyst does pushdown/broadcast/partial-agg). Used for the DuckDB
@@ -688,7 +764,7 @@ def bm25_scan_topk(
     from pylate_spark.functions.tokenize import native_tokens_col
 
     # corpus stats natively — one pushed-down scan, no UDF, no shuffle
-    dl_native = F.size(native_tokens_col(text_col))
+    dl_native = F.size(native_tokens_col(text_col, pattern))
     g = (
         docs.select(dl_native.alias("dl"))
         .where(F.col("dl") > 0)
@@ -698,12 +774,15 @@ def bm25_scan_topk(
     n_docs, avgdl = float(g["n"]), float(g["avgdl"])
 
     qt = (
-        queries.select("query_id", F.explode(tokenize_udf(F.col("text"))).alias("term"))
+        queries.select(
+            "query_id",
+            F.explode(make_tokenize_udf(pattern)(F.col("text"))).alias("term"),
+        )
         .distinct()
     )
     # filter postings to query terms FIRST (broadcast semi-join), so the
     # df aggregation and the scoring join never touch non-query terms
-    tl = terms_long(docs, id_col=id_col, text_col=text_col)
+    tl = terms_long(docs, id_col=id_col, text_col=text_col, pattern=pattern)
     tl_q = tl.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
     dfs = tl_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     candidates = tl_q if allowed_filter is None else tl_q.where(allowed_filter)

@@ -39,6 +39,25 @@ N_RARE_TERMS = 200
 BODY_TERMS: list[str] = [f"w{i:05d}" for i in range(N_BODY_TERMS)]
 RARE_TERMS: list[str] = [f"rare{i:04d}" for i in range(N_RARE_TERMS)]
 
+#: real non-ASCII vocabulary injected into the ``lang="de"`` rows
+#: (i % 50 == 7) — a Common-Crawl-style corpus is majority non-English,
+#: and these rows are what exercises the unicode token definition
+#: (functions/tokenize.WORD_RANGES) end to end: build → segments →
+#: query → DuckDB oracle. Scripts: Latin-with-diacritics, Greek,
+#:  Cyrillic, CJK, Hangul, Arabic, Hebrew, Thai, Devanagari, Viet.
+MULTI_TERMS: list[str] = [
+    "straße", "grüße", "münchen", "über", "schön",
+    "ελλάδα", "αθήνα", "θάλασσα",
+    "москва", "привет", "россия",
+    "東京", "日本語",
+    "서울", "한국어",
+    "القاهرة", "مرحبا",
+    "שלום", "ירושלים",
+    "สวัสดี", "กรุงเทพ",
+    "दिल्ली", "नमस्ते",
+    "tiếng", "việt",
+]
+
 _EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
 PAGES_SCHEMA = T.StructType(
@@ -109,6 +128,8 @@ def synth_pages_pandas(n_docs: int, seed: int = 42, indices: np.ndarray | None =
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in idx.tolist():
         words = synth_doc_words(i, seed=seed, n_docs=n_docs, rare=rare)
+        if i % 50 == 7:  # the lang="de" rows carry real non-ASCII terms
+            words.extend(MULTI_TERMS[(i + j) % len(MULTI_TERMS)] for j in range(3))
         text = " ".join(words)
         urls.append(doc_url(i))
         tss.append(_EPOCH + timedelta(seconds=int(i)))
@@ -153,6 +174,8 @@ def synth_queries_pandas(n_queries: int = 100, seed: int = 42) -> pd.DataFrame:
         "w00010 w00010",            # duplicated term in query
         "rare0002 w00001",          # rare + body
         "zzzznotaword w00002",      # absent + present
+        "grüße münchen",            # non-ASCII Latin (unicode tokenizer)
+        "привет 東京 नमस्ते",          # mixed-script non-Latin
     ]
     rng = np.random.Generator(np.random.Philox(key=seed + 1, counter=0))
     texts = list(fixed)

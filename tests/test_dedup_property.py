@@ -14,19 +14,18 @@ empty-token docs, exact duplicates, single-term docs.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pylate_spark.functions.tokenize import tokenize_py
 from pylate_spark.operators import dedup
-
-TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 
 def _tokens(text: str) -> list[str]:
-    return TOKEN_RE.findall(text.lower())
+    # the engine-default token definition (unicode since round 6)
+    return tokenize_py(text)
 
 
 def _md5(s: str) -> str:

@@ -142,3 +142,57 @@ def test_bucketed_probe_plan_is_partition_pruned(spark, queries, bucketed_path):
     # projects the persisted columns, no hyperplane arithmetic below it
     scan_leaf = plan.split("Scan parquet", 1)[1].split("\n\n")[0]
     assert "aggregate(" not in scan_leaf.lower()
+
+
+def test_append_bucketed_then_probe_matches_full_rewrite(spark, tmp_path_factory):
+    """Incremental add parity: writing corpus A then appending corpus B
+    must probe identically to one full write of A ∪ B — and the append
+    must hash with the MANIFEST's hyperplanes, not the caller's."""
+    from pylate_spark.operators.similarity import (
+        append_bucketed_embeddings,
+        ivf_topk_bucketed,
+        load_bucket_manifest,
+        write_bucketed_embeddings,
+    )
+
+    all_emb = synth_embeddings(spark, 1200).cache()
+    first = all_emb.where(F.col("vec_id") < 800)
+    extra = all_emb.where(F.col("vec_id") >= 800)
+    qs = all_emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    inc = str(tmp_path_factory.mktemp("inc") / "emb")
+    write_bucketed_embeddings(first, inc, n_planes=N_PLANES, dim=64)
+    meta = append_bucketed_embeddings(extra, inc)
+    assert meta == load_bucket_manifest(inc)  # geometry unchanged
+
+    full = str(tmp_path_factory.mktemp("full") / "emb")
+    write_bucketed_embeddings(all_emb, full, n_planes=N_PLANES, dim=64)
+
+    for n_probe in (1, 7):
+        got = sorted(map(tuple, ivf_topk_bucketed(
+            spark, inc, qs, k=K, n_probe=n_probe).collect()))
+        want = sorted(map(tuple, ivf_topk_bucketed(
+            spark, full, qs, k=K, n_probe=n_probe).collect()))
+        assert got == want
+    # appended rows are really in the partition layout (not a side file)
+    n_rows = spark.read.parquet(inc).count()
+    assert n_rows == 1200
+    all_emb.unpersist(blocking=False)
+
+
+def test_ivf_topk_auto_bucketed_hits_target_on_pruned_path(
+    spark, emb, queries, exact, bucketed_path
+):
+    """The calibrated probe count must drive the PRUNED layout (the
+    round-5 gap: auto only drove the full-scan path) and still achieve
+    the recall target end to end."""
+    from pylate_spark.operators.similarity import ivf_topk_auto_bucketed
+
+    approx, n_probe = ivf_topk_auto_bucketed(
+        spark, bucketed_path, queries, target_recall=0.90, k=K,
+        calibration_queries=20,
+    )
+    assert 1 <= n_probe <= 2**N_PLANES
+    assert _mean_recall(exact, approx) >= 0.90
