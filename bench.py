@@ -121,6 +121,41 @@ def main() -> None:
             fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
 
+        # --- dedup pair pipelines at a SECOND scale (10x the catalog's
+        # sf0.1 documents table) — the pair-join scaling claims carry a
+        # measured point beyond 200k docs. Corpus generation untimed.
+        n_dedup = int(os.environ.get("PYLATE_BENCH_DEDUP_DOCS", "1000000"))
+        if n_dedup:
+            from pyspark.sql import functions as F0
+
+            from pylate_spark.operators import dedup
+
+            dd_dir = tempfile.mkdtemp(prefix="pylate_bench_dedup_")
+            try:
+                synth_pages(spark, n_dedup).select(
+                    F0.xxhash64("url").alias("doc_id"), "text"
+                ).write.mode("overwrite").parquet(dd_dir)
+                ddocs = spark.read.parquet(dd_dir)
+                t0 = time.time()
+                pairs = dedup.lsh_candidate_pairs(
+                    ddocs, n_hashes=8, band_size=2, max_bucket_size=2000
+                ).cache()
+                extras[f"lsh_pairs_{n_dedup}"] = pairs.count()
+                timings[f"lsh_candidate_pairs_{n_dedup}"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                extras[f"simhash_pairs_{n_dedup}"] = dedup.simhash_near_dup_pairs(
+                    ddocs, max_hamming=3, max_bucket_size=2000
+                ).count()
+                timings[f"simhash_near_dup_pairs_{n_dedup}"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                extras[f"dedup_clusters_{n_dedup}"] = (
+                    dedup.dedup_clusters(pairs).where("keep").count()
+                )
+                timings[f"dedup_clusters_{n_dedup}"] = round(time.time() - t0, 3)
+                pairs.unpersist(blocking=False)
+            finally:
+                shutil.rmtree(dd_dir, ignore_errors=True)
+
         # --- ANN accuracy/probe trade (measured recall, the reference's
         # n_ivf_probe knob) on clustered synthetic embeddings -----------
         from pyspark.sql import functions as F

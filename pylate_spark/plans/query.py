@@ -429,15 +429,28 @@ class InvertedIndex:
         ``mapInPandas`` stage and scored/merged by native joins + aggs.
         Rank-identical to ``search(mode="exhaustive")``.
 
-        When to use which: :meth:`search` plans driver-side (collect +
-        tokenize + one closure/broadcast) — the right trade at the
-        reference's own batching scale (50/probe,
-        ``retrieve/base.py:98-105``) because the replicated query set
-        lets each shard kernel prune with block-max metadata. At
-        10^5–10^6-query batches the driver becomes the bottleneck and
-        replicate-to-every-shard stops paying; this path's cost scales
-        with |queries| × |postings of their terms| and never
-        materializes anything driver-side.
+        When to use which — MEASURED, round 6 (PLANS.md §9c): on a
+        single box, :meth:`search` wins at EVERY feasible batch size,
+        and its throughput *rises* with batch (3.2M-doc index,
+        local[32]: 75.8 qps at 2×10³ queries → 400+ qps at 10⁴, driver
+        planning ≤ 1 s, driver RSS 152 MB) because the per-shard decode
+        cost amortizes while candidates stay in dense accumulators —
+        nothing corpus-sized is ever shuffled. This path materializes
+        O(Σ_t df(t)·nq(t)) rows through exchanges instead: at 10⁴
+        queries on the same index that is ~10⁹⁺ rows ≈ 10² GB of
+        shuffle, which exceeded BOTH a 126 GB tmpfs spill (OS
+        OOM-killed at 57 GB JVM RSS, 16 g and 64 g heaps alike) and
+        75 GB of disk; the largest completed point, 2×10³ queries, ran
+        946 s vs the kernel's 26 s (~40 GB peak spill, ``auto``
+        correctly two-phase). So the single-node crossover DOES NOT
+        EXIST — not for lack of cores but of shuffle capacity. This
+        path is for a MULTI-EXECUTOR cluster, where the same exchanges
+        distribute across many nodes' memory/disks and the kernel
+        path's one real ceiling — the driver collecting/tokenizing/
+        broadcasting a 10⁷⁺-query map — binds first. On one box, use
+        :meth:`search`; it plans driver-side (collect + tokenize + one
+        closure/broadcast), the same trade the reference makes at its
+        own batching scale (50/probe, ``retrieve/base.py:98-105``).
 
         ``subset`` restricts *candidates* to the given docids (corpus
         stats stay global — the reference's allow-list semantics,
