@@ -34,6 +34,9 @@ def main() -> None:
     from pylate_spark.session import get_spark
     from pylate_spark.sources.synth import synth_pages, synth_queries_pandas
 
+    # the dedup second-scale section shuffles 1M-doc band joins; 16g
+    # (the library default) measured too small for the bench JVM
+    os.environ.setdefault("PYLATE_SPARK_DRIVER_MEM", "48g")
     spark = get_spark(app_name="pylate_bench", master=master)
     cores = spark.sparkContext.defaultParallelism
     timings: dict[str, float] = {}
@@ -121,41 +124,6 @@ def main() -> None:
             fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
 
-        # --- dedup pair pipelines at a SECOND scale (10x the catalog's
-        # sf0.1 documents table) — the pair-join scaling claims carry a
-        # measured point beyond 200k docs. Corpus generation untimed.
-        n_dedup = int(os.environ.get("PYLATE_BENCH_DEDUP_DOCS", "1000000"))
-        if n_dedup:
-            from pyspark.sql import functions as F0
-
-            from pylate_spark.operators import dedup
-
-            dd_dir = tempfile.mkdtemp(prefix="pylate_bench_dedup_")
-            try:
-                synth_pages(spark, n_dedup).select(
-                    F0.xxhash64("url").alias("doc_id"), "text"
-                ).write.mode("overwrite").parquet(dd_dir)
-                ddocs = spark.read.parquet(dd_dir)
-                t0 = time.time()
-                pairs = dedup.lsh_candidate_pairs(
-                    ddocs, n_hashes=8, band_size=2, max_bucket_size=2000
-                ).cache()
-                extras[f"lsh_pairs_{n_dedup}"] = pairs.count()
-                timings[f"lsh_candidate_pairs_{n_dedup}"] = round(time.time() - t0, 3)
-                t0 = time.time()
-                extras[f"simhash_pairs_{n_dedup}"] = dedup.simhash_near_dup_pairs(
-                    ddocs, max_hamming=3, max_bucket_size=2000
-                ).count()
-                timings[f"simhash_near_dup_pairs_{n_dedup}"] = round(time.time() - t0, 3)
-                t0 = time.time()
-                extras[f"dedup_clusters_{n_dedup}"] = (
-                    dedup.dedup_clusters(pairs).where("keep").count()
-                )
-                timings[f"dedup_clusters_{n_dedup}"] = round(time.time() - t0, 3)
-                pairs.unpersist(blocking=False)
-            finally:
-                shutil.rmtree(dd_dir, ignore_errors=True)
-
         # --- ANN accuracy/probe trade (measured recall, the reference's
         # n_ivf_probe knob) on clustered synthetic embeddings -----------
         from pyspark.sql import functions as F
@@ -219,6 +187,54 @@ def main() -> None:
         extras["ann_bucket_dirs"] = sum(
             1 for d in _os.listdir(bucket_dir) if d.startswith("bucket=")
         )
+        # --- dedup pair pipelines at a SECOND scale (10x the catalog's
+        # sf0.1 documents table) — the pair-join scaling claims carry a
+        # measured point beyond 200k docs. Corpus generation untimed.
+        # band_size=4 (2 bands of 4 hashes) is the realistic web-dedup
+        # precision setting at this scale: random short zipf docs share
+        # enough head terms that band_size=2 floods candidates (the
+        # first run of this section cached millions of noise pairs and
+        # OOMed a 16g heap). Errors are recorded, not fatal — the rest
+        # of the bench line must still reach the driver.
+        n_dedup = int(os.environ.get("PYLATE_BENCH_DEDUP_DOCS", "1000000"))
+        if n_dedup:
+            from pyspark.sql import functions as F0
+
+            from pylate_spark.operators import dedup
+
+            dd_dir = tempfile.mkdtemp(prefix="pylate_bench_dedup_")
+            try:
+                synth_pages(spark, n_dedup).select(
+                    F0.xxhash64("url").alias("doc_id"), "text"
+                ).write.mode("overwrite").parquet(dd_dir)
+                ddocs = spark.read.parquet(dd_dir)
+                t0 = time.time()
+                pairs = dedup.lsh_candidate_pairs(
+                    ddocs, n_hashes=8, band_size=4, max_bucket_size=2000
+                )
+                extras[f"lsh_pairs_{n_dedup}"] = pairs.count()
+                timings[f"lsh_candidate_pairs_{n_dedup}"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                spairs = dedup.simhash_near_dup_pairs(
+                    ddocs, max_hamming=2, max_bucket_size=2000
+                )
+                extras[f"simhash_pairs_{n_dedup}"] = spairs.count()
+                timings[f"simhash_near_dup_pairs_{n_dedup}"] = round(time.time() - t0, 3)
+                # clusters over the PRECISE pair set (simhash, ~5M
+                # edges at 1M docs) — the 106M-edge LSH candidate set
+                # of this random-zipf corpus is a recall-stage
+                # artifact, and clustering it measured 576 s of pure
+                # GC pressure that then poisoned every later timing
+                t0 = time.time()
+                extras[f"dedup_clusters_{n_dedup}"] = (
+                    dedup.dedup_clusters(spairs).where("keep").count()
+                )
+                timings[f"dedup_clusters_{n_dedup}"] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                extras["dedup_scale_error"] = f"{type(e).__name__}: {e}"[:200]
+            finally:
+                shutil.rmtree(dd_dir, ignore_errors=True)
+
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
