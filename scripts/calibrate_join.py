@@ -82,8 +82,10 @@ def main() -> None:
             F.explode(F.array_distinct(make_tokenize_udf(
                 idx.config.token_pattern)(F.col("text")))).alias("term"),
         )
+        from pylate_spark.plans.build import active_dir
+
         stats = spark.read.parquet(
-            f"{idx.paths.root}/{idx.manifest['dirs'].get('term_stats', 'term_stats')}"
+            active_dir(idx.paths, idx.manifest, "term_stats")
         ).select("term", "df")
         cutoff = max(256, idx.n_docs // 20)
         est = (
