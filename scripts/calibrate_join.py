@@ -117,11 +117,16 @@ def main() -> None:
         print(json.dumps(points[-1]), file=sys.stderr)
 
     # smallest bar that keeps every measured two-phase LOSS single-phase,
-    # with 10x headroom (losses where head_saved - rare_repl > 0 bind)
+    # with 10x headroom. Only POSITIVE losing margins bind: a loss with
+    # head_saved <= rare_repl is already single-phase at ANY non-negative
+    # bar, and a negative suggestion would make auto engage two-phase
+    # even when head_saved < rare_repl — the opposite of the safety
+    # valve's intent. No positive losing margin -> None ("keep default").
     margins = [
-        p["head_saved"] - p["rare_repl"]
+        m
         for p in points
         if p["two_phase_s"] > p["single_phase_s"]
+        and (m := p["head_saved"] - p["rare_repl"]) > 0
     ]
     suggested = max(margins) * 10 // cores if margins else None
     print(json.dumps({
