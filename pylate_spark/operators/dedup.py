@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pylate_spark.functions.tokenize import native_tokens_col
 
@@ -64,13 +65,20 @@ def _prune_mega_buckets(
     DuckDB oracles check)."""
     if max_bucket_size is None:
         return banded
-    small = (
-        banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") <= max_bucket_size)
-        .select(*keys)
+    # window count, not agg + semi-join (r7, guide §2.4): the count
+    # rides ONE shuffle on the bucket keys — the same partitioning the
+    # downstream self-equi-join needs, so the join adds no exchange and
+    # no sort of its own (the window already sorted by the keys); the
+    # agg + semi-join form re-evaluated ``banded`` for the aggregation
+    # AND added a join. Both self-join sides build the identical
+    # Window(Exchange(banded)) subtree, so Spark's ReusedExchange
+    # shuffles it once.
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
     )
-    return banded.join(small, keys, "left_semi")
 
 
 def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -217,10 +225,24 @@ def lsh_candidate_pairs(
     banded = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
         "doc_id", F.col("p.band").alias("band"), F.col("p.band_hash").alias("band_hash")
     )
-    pre_guard = banded
-    banded = _prune_mega_buckets(banded, ["band", "band_hash"], max_bucket_size)
-    a = _spread_to_width(banded, probe=pre_guard).alias("a")
-    b = banded.alias("b")
+    # the banded-signature subplan is referenced by BOTH sides of the
+    # self-join (plus the guard): persist it so the expensive part —
+    # tokenize + n_hashes md5 projections over the corpus — runs once
+    # per job instead of once per reference (r7, guide §1.2/§2.4:
+    # measured 2 signature passes in the round-6 plan). The cached set
+    # is (doc_id, band, band_hash) — ~40 B/row·n_bands, orders of
+    # magnitude below the corpus; it is operator-internal and freed by
+    # the ContextCleaner when the result DataFrame is dropped.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is None:
+        a = _spread_to_width(banded, probe=banded).alias("a")
+        b = banded.alias("b")
+    else:
+        # the window guard shuffles on the join keys, so the join is
+        # already cluster-wide — no spread needed (and probing a plan
+        # that contains the guard shuffle would eagerly run it)
+        pruned = _prune_mega_buckets(banded, ["band", "band_hash"], max_bucket_size)
+        a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(
             b,
@@ -267,7 +289,18 @@ def dedup_clusters(
     """
     e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
     edges = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).distinct()
-    edges = edges.localCheckpoint(eager=True)  # cut lineage once, reused every iter
+    # r7 (guide §2.4): pre-partition + pre-sort the STATIC edge set by
+    # the per-iteration join key and persist — persist (unlike
+    # localCheckpoint) preserves outputPartitioning/outputOrdering, so
+    # every iteration's edges⋈labels sort-merge join does ZERO exchange
+    # and ZERO sort on the edge side (the round-6 form re-shuffled all
+    # edges every round). The count materializes the cache once.
+    edges = (
+        edges.repartition("t")
+        .sortWithinPartitions("t")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
     verts = edges.select(F.col("s").alias("v")).distinct()
     if docs is not None:
         verts = verts.unionByName(docs.select(F.col(id_col).alias("v"))).distinct()
@@ -285,11 +318,16 @@ def dedup_clusters(
         )
         # pointer doubling: label's current label
         l2 = labels.select(F.col("v").alias("lbl"), F.col("lbl").alias("llbl"))
+        # carry the old label through the checkpoint so convergence is a
+        # cheap filter+count over the checkpointed rows — the round-6
+        # form paid an extra labels join (plus its shuffles) per round
+        # just to count changes (r7, guide §2.4)
         new = (
             labels.join(nmin, "v", "left")
             .join(l2, "lbl", "left")
             .select(
                 "v",
+                F.col("lbl").alias("_old"),
                 F.least(
                     F.col("lbl"),
                     F.coalesce(F.col("nlbl"), F.col("lbl")),
@@ -298,17 +336,13 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)  # iterative plan would grow unboundedly
         )
-        changed = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "v")
-            .where(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("lbl") != F.col("_old")).count()
+        labels = new.select("v", "lbl")
         if changed == 0:
             break
     else:
         if max_iter > 0:
+            edges.unpersist(blocking=False)
             # exhausting the budget with labels still moving means split
             # components — silently returning them would hand callers
             # wrong cluster assignments with no signal
@@ -318,6 +352,9 @@ def dedup_clusters(
                 f"{changed} labels still changing on the last round); "
                 "raise max_iter (pointer doubling needs O(log diameter) rounds)"
             )
+    # labels is checkpointed (lineage-free): the edge cache is no longer
+    # referenced by the returned plan
+    edges.unpersist(blocking=False)
     return labels.select(
         F.col("v").alias(id_col),
         F.col("lbl").alias("cluster_id"),
@@ -330,21 +367,27 @@ def simhash(
 ) -> DataFrame:
     """tf-weighted SimHash. Bit j of md5(term) is taken from hex digit
     j (high bit of the nibble: digit >= '8'), portable across engines.
-    Returns (doc_id, simhash long)."""
-    toks = df.select(
+    Returns (doc_id, simhash long).
+
+    Plan shape (r7, guide §2.3/§2.4): ONE shuffle. The tf-weighted vote
+    Σ_terms tf(term)·sign_j(term) equals the per-OCCURRENCE sum
+    Σ_tokens sign_j(token) — exact integer arithmetic, identical result
+    — so the per-(doc, term) tf aggregation (a full shuffle of
+    (doc_id, term) STRING rows that fell back to Sort+SortAggregate) is
+    unnecessary: explode → md5 → 32 conditional sums hash-aggregate
+    map-side (a doc's tokens never span partitions) and the shuffle
+    carries one all-numeric row per doc."""
+    occ = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(native_tokens_col(text_col)).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("h", F.md5(F.col("term")))
+    ).select("doc_id", F.md5(F.col("term")).alias("h"))
     votes = [
         F.sum(
-            F.col("tf")
-            * F.when(F.substring(F.col("h"), j + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+            F.when(F.substring(F.col("h"), j + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"v{j}")
         for j in range(bits)
     ]
-    agg = tf.groupBy("doc_id").agg(*votes)
+    agg = occ.groupBy("doc_id").agg(*votes)
     sh = None
     for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -401,13 +444,22 @@ def simhash_near_dup_pairs(
         F.col("p.band").alias("band"),
         F.col("p.band_val").alias("band_val"),
     )
-    banded = _prune_mega_buckets(banded, ["band", "band_val"], max_bucket_size)
-    # probe the INPUT's scan width, not banded: banded always contains
-    # the simhash groupBy, so .rdd on it would eagerly run those agg
-    # stages in a throwaway execution (see _spread_to_width)
-    left = _spread_to_width(banded, probe=df.select(F.col(id_col)))
-    a = left.alias("a")
-    b = banded.alias("b")
+    # persist: the simhash aggregation under ``banded`` is referenced by
+    # both self-join sides (same reasoning as lsh_candidate_pairs — r7,
+    # guide §1.2/§2.4); the cached set is n_bands rows/doc of numeric
+    # columns, tiny next to the token stream it derives from
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is None:
+        # probe the INPUT's scan width, not banded: banded contains the
+        # simhash groupBy, so .rdd on it would eagerly run those agg
+        # stages in a throwaway execution (see _spread_to_width)
+        left = _spread_to_width(banded, probe=df.select(F.col(id_col)))
+        a = left.alias("a")
+        b = banded.alias("b")
+    else:
+        # the window guard shuffles on the join keys — already wide
+        pruned = _prune_mega_buckets(banded, ["band", "band_val"], max_bucket_size)
+        a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(
             b,

