@@ -516,6 +516,19 @@ class InvertedIndex:
         bucket allow-list, and every scoring leg see the SAME tokenized
         batch even if the input is nondeterministic (unseeded sample,
         mutating view) — re-read skew cannot silently drop postings.
+        Caveat on non-local masters: localCheckpoint blocks are
+        NON-recomputable — losing an executor mid-query (dynamic
+        allocation, spot nodes) fails the job with a missing-checkpoint
+        -block error instead of recomputing; on such clusters prefer a
+        reliable checkpoint dir or persist+materialize for the pin.
+
+        Input contract: ``query_id`` rows must be unique. Duplicate
+        rows for one query_id produce duplicate (query_id, term) pairs
+        and double-counted contributions here (``array_distinct``
+        dedups within a row only — the global ``.distinct()`` was a
+        full-batch shuffle, removed in round 6), while :meth:`search`'s
+        driver-side qmap silently keeps one row per id. Dedup upstream
+        (``dropDuplicates(["query_id"])``) if the source can repeat ids.
 
         Plan shape: the matched terms' hash buckets (≤ ``term_buckets``
         ints, one aggregate row fused with the plan-choice estimate)
@@ -794,9 +807,17 @@ def bm25_scan_topk(
         .distinct()
     )
     # filter postings to query terms FIRST (broadcast semi-join), so the
-    # df aggregation and the scoring join never touch non-query terms
+    # df aggregation and the scoring join never touch non-query terms.
+    # lazy localCheckpoint (r7, guide §1.2): tl_q is referenced TWICE in
+    # the final plan — once under the broadcast df-aggregation, once as
+    # the candidate stream — and its subtree has no exchange Spark could
+    # reuse (mapInPandas + broadcast semi-join), so without the pin the
+    # whole corpus was tokenized twice per run. The pinned rows are only
+    # the query-term postings (small by construction).
     tl = terms_long(docs, id_col=id_col, text_col=text_col, pattern=pattern)
-    tl_q = tl.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    tl_q = tl.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    ).localCheckpoint(eager=False)
     dfs = tl_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     candidates = tl_q if allowed_filter is None else tl_q.where(allowed_filter)
     scored = (
