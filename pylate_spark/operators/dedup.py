@@ -288,7 +288,16 @@ def dedup_clusters(
     (b,a); edges here are symmetrized internally.
     """
     e = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-    edges = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).distinct()
+    # no .distinct() on the symmetrized union (r7, guide §2.4 "a
+    # distinct on data that is already unique"): a distinct (doc_a <
+    # doc_b) pair list symmetrizes to a distinct edge set by
+    # construction (originals have s<t, mirrors s>t — disjoint), so the
+    # old global distinct shuffled 2·|pairs| rows to remove nothing.
+    # Duplicate edges from a dirty input cannot change any min-label
+    # aggregation — they only inflate the per-iteration join
+    # proportionally to the dirt, which the docstring's dedup-first
+    # note already covers.
+    edges = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
     # r7 (guide §2.4): pre-partition + pre-sort the STATIC edge set by
     # the per-iteration join key and persist — persist (unlike
     # localCheckpoint) preserves outputPartitioning/outputOrdering, so
