@@ -53,9 +53,10 @@ def _spread_to_width(df: DataFrame, probe: DataFrame | None = None) -> DataFrame
 def _prune_mega_buckets(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:
-    """The shared skew guard of the three pair pipelines
-    (:func:`lsh_candidate_pairs`, :func:`simhash_near_dup_pairs`,
-    :func:`ngram_jaccard_pairs`): drop bucket keys whose member count
+    """Window-count skew guard for the shingle pipeline
+    (:func:`ngram_jaccard_pairs`; the banded pair pipelines inline the
+    same window counts as per-band flags so they can also drive their
+    first-collision dedup): drop bucket keys whose member count
     exceeds ``max_bucket_size`` before the self-equi-join — a
     degenerate bucket (boilerplate shared by 10^5 docs at web scale)
     turns the join into bucket² rows on its own. Excluded buckets'
@@ -183,75 +184,109 @@ def lsh_candidate_pairs(
     handles any group size linearly). Default None = exact semantics
     (every bucket enumerated), which is what the DuckDB oracle checks.
 
-    Plan shape: signatures and band hashes are pure projections off
-    the tokenized-terms array (:func:`_signature_wide` — no explode,
-    no aggregation, no shuffle), and pairs come from a streaming
-    self-equi-join on (band, band_hash). The join DOES evaluate the
-    banded subplan twice (Spark shares no non-cached subplans), but
-    that subplan is now projection-only codegen — measured cheaper at
-    sf0.1 than either (a) the old explode+groupBy(doc_id).min(md5)
-    signatures, which Sort+SortAggregate strings on a (doc_id, term)
-    shuffle, or (b) a collect_list(doc_id)-per-bucket + native
-    nested-transform pair explode, which materializes a C(n,2) struct
-    array per bucket in ONE row — a duplicate-heavy web corpus has
-    mega-buckets, and a 3k-doc bucket is a 4.5M-struct array. The
-    join streams those pairs instead."""
+    Plan shape (r7): signatures and band hashes are pure projections
+    off the tokenized-terms array (:func:`_signature_wide` — no
+    explode, no aggregation, no shuffle), persisted once and read by
+    both sides of a streaming self-equi-join on (band, band_hash).
+    The output is distinct BY CONSTRUCTION — each pair is emitted only
+    at the smallest band where the two docs share a (surviving)
+    bucket, a pure extra join conjunct — so no pair-level shuffle ever
+    happens (the round-6 global ``.distinct()`` cost 35 s at the
+    1M-doc bench leg to remove a 0.03% duplicate ratio). Rejected
+    alternatives kept for the record: (a) explode +
+    groupBy(doc_id).min(md5) signatures — Sort+SortAggregate strings
+    on a (doc_id, term) shuffle, measured 2× slower; (b)
+    collect_list(doc_id)-per-bucket + nested-transform pair explode —
+    materializes a C(n,2) struct array per mega-bucket in ONE row.
+    The join streams its pairs instead."""
     wide = _signature_wide(df, n_hashes, id_col=id_col, text_col=text_col)
     n_bands = (n_hashes + band_size - 1) // band_size
+
+    def band_hash(b: int):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(
+                                b * band_size, min((b + 1) * band_size, n_hashes)
+                            )
+                        ]
+                    )
+                ),
+            )
+        )
+
+    guarded = max_bucket_size is not None
+    wide = wide.select(
+        "doc_id", *[band_hash(b).alias(f"_bh{b}") for b in range(n_bands)]
+    )
+    if guarded:
+        # per-band bucket-size flags computed BEFORE the band explode
+        # (one window shuffle of the 1M-row signature table per band):
+        # a row's own-band flag is the mega-bucket guard; the OTHER
+        # bands' flags feed the first-collision dedup below
+        for b in range(n_bands):
+            wide = wide.withColumn(
+                f"_sv{b}",
+                F.count(F.lit(1)).over(Window.partitionBy(f"_bh{b}"))
+                <= max_bucket_size,
+            )
+    carry = [f"_bh{b}" for b in range(n_bands)] + (
+        [f"_sv{b}" for b in range(n_bands)] if guarded else []
+    )
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.array_sort(
-                            F.array(
-                                *[
-                                    F.col(f"mh{i}")
-                                    for i in range(
-                                        b * band_size,
-                                        min((b + 1) * band_size, n_hashes),
-                                    )
-                                ]
-                            )
-                        ),
-                    )
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band"), F.col(f"_bh{b}").alias("band_hash"))
             for b in range(n_bands)
         ]
     )
-    banded = wide.select("doc_id", F.explode(band_structs).alias("p")).select(
-        "doc_id", F.col("p.band").alias("band"), F.col("p.band_hash").alias("band_hash")
+    banded = wide.select("doc_id", *carry, F.explode(band_structs).alias("p")).select(
+        "doc_id", *carry, F.col("p.band").alias("band"), F.col("p.band_hash").alias("band_hash")
     )
     # the banded-signature subplan is referenced by BOTH sides of the
-    # self-join (plus the guard): persist it so the expensive part —
-    # tokenize + n_hashes md5 projections over the corpus — runs once
-    # per job instead of once per reference (r7, guide §1.2/§2.4:
-    # measured 2 signature passes in the round-6 plan). The cached set
-    # is (doc_id, band, band_hash) — ~40 B/row·n_bands, orders of
-    # magnitude below the corpus; it is operator-internal and freed by
-    # the ContextCleaner when the result DataFrame is dropped.
+    # self-join: persist it so the expensive part — tokenize +
+    # n_hashes md5 projections over the corpus — runs once per job
+    # instead of once per reference (r7, guide §1.2/§2.4: measured 2
+    # signature passes in the round-6 plan). The cached set is ~100
+    # B/row·n_bands, orders of magnitude below the corpus; it is
+    # operator-internal and freed by the ContextCleaner when the
+    # result DataFrame is dropped.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bucket_size is None:
-        a = _spread_to_width(banded, probe=banded).alias("a")
-        b = banded.alias("b")
+    if guarded:
+        surv_own = F.lit(False)
+        for b in range(n_bands):
+            surv_own = F.when(F.col("band") == b, F.col(f"_sv{b}")).otherwise(surv_own)
+        banded = banded.where(surv_own)
+        a = banded.alias("a")
     else:
-        # the window guard shuffles on the join keys, so the join is
-        # already cluster-wide — no spread needed (and probing a plan
-        # that contains the guard shuffle would eagerly run it)
-        pruned = _prune_mega_buckets(banded, ["band", "band_hash"], max_bucket_size)
-        a, b = pruned.alias("a"), pruned.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        a = _spread_to_width(banded, probe=banded).alias("a")
+    b2 = banded.alias("b")
+    # FIRST-COLLISION dedup instead of a global .distinct() (r7, guide
+    # §2.4): a pair is emitted only at the SMALLEST band where both
+    # docs share a surviving bucket — for every earlier band j the
+    # condition rejects the copy iff the pair also collided there (and,
+    # under the guard, that bucket survived — a pair whose earlier
+    # collision was mega-pruned is still emitted here, exactly the old
+    # distinct-over-surviving-joins semantics). The output is distinct
+    # BY CONSTRUCTION, which removes the full pair-level shuffle:
+    # measured at the 1M-doc bench leg, the old distinct cost 35.2 s
+    # to remove 29,899 duplicates out of 106.46M join rows
+    # (dup ratio 1.0003) vs 3.8 s for the raw join.
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for j in range(n_bands):
+        earlier_hit = F.col(f"a._bh{j}") == F.col(f"b._bh{j}")
+        if guarded:
+            earlier_hit = earlier_hit & F.col(f"a._sv{j}")
+        cond = cond & ((F.lit(j) >= F.col("a.band")) | ~earlier_hit)
+    return a.join(b2, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
 
@@ -435,21 +470,34 @@ def simhash_near_dup_pairs(
     n_bands = max_hamming + 1
     width = (bits + n_bands - 1) // n_bands
     mask = (1 << width) - 1
+    guarded = max_bucket_size is not None
     sh = simhash(df, bits=bits, id_col=id_col, text_col=text_col)
+
+    def bv(col, b: int):
+        return F.shiftright(col, b * width).bitwiseAND(F.lit(mask))
+
+    if guarded:
+        # per-band bucket-size flags before the explode (one window
+        # shuffle of the per-doc simhash table per band) — own-band
+        # flag is the mega-bucket guard, the others feed the
+        # first-collision dedup below (see lsh_candidate_pairs)
+        for b in range(n_bands):
+            sh = sh.withColumn(
+                f"_sv{b}",
+                F.count(F.lit(1)).over(Window.partitionBy(bv(F.col("simhash"), b)))
+                <= max_bucket_size,
+            )
+    carry = [f"_sv{b}" for b in range(n_bands)] if guarded else []
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
-            )
+            F.struct(F.lit(b).alias("band"), bv(F.col("simhash"), b).alias("band_val"))
             for b in range(n_bands)
         ]
     )
-    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("p")).select(
+    banded = sh.select("doc_id", "simhash", *carry, F.explode(bands).alias("p")).select(
         "doc_id",
         "simhash",
+        *carry,
         F.col("p.band").alias("band"),
         F.col("p.band_val").alias("band_val"),
     )
@@ -458,24 +506,35 @@ def simhash_near_dup_pairs(
     # guide §1.2/§2.4); the cached set is n_bands rows/doc of numeric
     # columns, tiny next to the token stream it derives from
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_bucket_size is None:
+    if guarded:
+        surv_own = F.lit(False)
+        for b in range(n_bands):
+            surv_own = F.when(F.col("band") == b, F.col(f"_sv{b}")).otherwise(surv_own)
+        banded = banded.where(surv_own)
+        a = banded.alias("a")
+    else:
         # probe the INPUT's scan width, not banded: banded contains the
         # simhash groupBy, so .rdd on it would eagerly run those agg
         # stages in a throwaway execution (see _spread_to_width)
-        left = _spread_to_width(banded, probe=df.select(F.col(id_col)))
-        a = left.alias("a")
-        b = banded.alias("b")
-    else:
-        # the window guard shuffles on the join keys — already wide
-        pruned = _prune_mega_buckets(banded, ["band", "band_val"], max_bucket_size)
-        a, b = pruned.alias("a"), pruned.alias("b")
+        a = _spread_to_width(banded, probe=df.select(F.col(id_col))).alias("a")
+    b2 = banded.alias("b")
+    # first-collision dedup instead of a global .distinct() — emit each
+    # pair only at the smallest band where both docs share a (surviving)
+    # bucket; earlier-band values come straight from the simhash columns
+    # already on both sides (pure bit arithmetic, no extra state). Same
+    # reasoning and measured motivation as lsh_candidate_pairs.
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for j in range(n_bands):
+        earlier_hit = bv(F.col("a.simhash"), j) == bv(F.col("b.simhash"), j)
+        if guarded:
+            earlier_hit = earlier_hit & F.col(f"a._sv{j}")
+        cond = cond & ((F.lit(j) >= F.col("a.band")) | ~earlier_hit)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b2, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -484,7 +543,6 @@ def simhash_near_dup_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
