@@ -73,6 +73,21 @@ def get_spark(
         local_dir = "/dev/shm/pylate-spark-tmp"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # GC regime (r7, measured): plain local[N] batch work is
+    # allocation-heavy (regex tokenize, md5 signatures) and the
+    # throughput collector beat the G1 default in paired A/B bench
+    # runs (suite 124.5/141.4 s vs 136.7/175.2 s; the md5-heavy
+    # 1M-doc LSH leg 29-41 s vs 41-56 s). Local mode only — a real
+    # cluster sizes executor JVMs differently; use the env knobs
+    # there. PYLATE_SPARK_DRIVER_JAVA_OPTS overrides ("" disables).
+    java_opts = os.environ.get("PYLATE_SPARK_DRIVER_JAVA_OPTS")
+    if java_opts is None and master.startswith("local["):
+        java_opts = "-XX:+UseParallelGC"
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    exec_opts = os.environ.get("PYLATE_SPARK_EXECUTOR_JAVA_OPTS")
+    if exec_opts:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_opts)
     for k, v in {**cluster_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
